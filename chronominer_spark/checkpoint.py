@@ -1,0 +1,96 @@
+"""Fingerprint-chained checkpoint manifest — resumable validation runs.
+
+Re-expresses the reference's resume engine (SURVEY.md §0.3):
+
+- JSONL header fingerprints + refuse-on-config-drift
+  (``/root/reference/modules/infra/jsonl.py:119-277``) -> ``suite_hash``
+  column; a manifest row only counts as "completed" for the *same*
+  suite hash and the *same* table snapshot.
+- completed-index skip set (``modules/extract/resume.py:177-227``,
+  ``modules/extract/processing_strategy.py:493-504``) -> the set of
+  completed partition_ids, anti-filtered before any scan.
+- temp-JSONL append-per-finished-unit durability
+  (``modules/infra/jsonl.py:27-57``) -> one manifest commit per finished
+  partition wave, written atomically (tmp + replace).
+
+The manifest itself is tiny (one row per partition × snapshot × run), so
+it lives in a JSON file committed atomically by the single-writer driver;
+on a multi-writer cluster the same rows would go to an Iceberg table with
+optimistic commits (the reference's file-locked shared ledger,
+``modules/infra/shared_ledger.py:610-654``, is the cautionary tale this
+avoids).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+STATUS_COMPLETED = "completed"
+STATUS_FAILED = "failed"
+
+
+@dataclass(frozen=True)
+class ManifestEntry:
+    partition_id: str
+    snapshot_id: int
+    suite_hash: str
+    status: str
+    completed_at: float
+    run_id: str
+
+
+class CheckpointManifest:
+    """Append-only manifest with atomic commits; latest entry wins per
+    (partition_id, snapshot_id, suite_hash)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def entries(self) -> list[ManifestEntry]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path, encoding="utf-8") as f:
+            return [ManifestEntry(**row) for row in json.load(f)]
+
+    def append(self, new_entries: list[ManifestEntry]) -> None:
+        rows = [asdict(e) for e in self.entries()] + [asdict(e) for e in new_entries]
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(rows, f)
+        os.replace(tmp, self.path)
+
+    def mark_completed(
+        self, partition_ids: list[str], snapshot_id: int, suite_hash: str, run_id: str
+    ) -> None:
+        now = time.time()
+        self.append([
+            ManifestEntry(p, snapshot_id, suite_hash, STATUS_COMPLETED, now, run_id)
+            for p in partition_ids
+        ])
+
+    def completed_partitions(self, snapshot_id: int, suite_hash: str) -> set[str]:
+        """Partitions durably validated for exactly this (snapshot, suite).
+
+        A partition whose snapshot advanced is NOT completed (it must be
+        re-validated — the late-data analog, SURVEY.md §2.9 ST4); a
+        manifest written under a different suite_hash is ignored entirely
+        (config drift ⇒ nothing is reusable — mirror of
+        ``validate_jsonl_header`` refusal semantics).
+        """
+        done: set[str] = set()
+        for e in self.entries():
+            if (
+                e.suite_hash == suite_hash
+                and e.snapshot_id == snapshot_id
+                and e.status == STATUS_COMPLETED
+            ):
+                done.add(e.partition_id)
+        return done
+
+    def has_drift(self, suite_hash: str) -> bool:
+        """True if prior runs used a different suite config (warn + rerun)."""
+        return any(e.suite_hash != suite_hash for e in self.entries())

@@ -1,0 +1,591 @@
+"""Constraint-suite evaluation — DataFrame plans per constraint family.
+
+Scale design (SURVEY.md §4, §7):
+
+- **One scan for all row-level constraints** (not_null, not_empty, RI,
+  cast, range, regex, cross-field): the aggregate pass computes every
+  violation count with conditional sums in a single ``groupBy(partition)``
+  (map-side partial aggregation; the combiner pattern the reference
+  implements by hand in ``eval/metrics.py:622-674``). The violations pass
+  is a second scan with a pushed-down OR-filter, so the common all-green
+  partition reads parquet footers + filtered column chunks only.
+- **Uniqueness** is a two-stage aggregation: stage 1 counts keys within
+  each input partition (``spark_partition_id()`` as the salt), stage 2
+  merges — the salted hash-aggregate the north rule requires; a hot
+  conv_id therefore never concentrates raw rows onto one reducer.
+- **Vocabulary RI** dims are tiny by definition -> fused ``isin``
+  (Catalyst InSet) in the shared scan when declared inline, or a
+  ``broadcast()`` + ``left_anti`` join when declared as a dim DataFrame.
+- **Equality/drift** need the reference snapshot; both shuffle only
+  aggregates or keys, never wide rows (drift ships bin counts; equality
+  joins on the key after window dedup).
+
+All per-partition result frames are a few hundred rows; unioning them is
+driver-cheap regardless of input size. Nothing in this module collects
+row-level data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from chronominer_spark.constraints.spec import Constraint, ConstraintSuite
+from chronominer_spark.functions.text import normalize_text
+
+RESULT_COLUMNS = [
+    "partition_id", "constraint_id", "snapshot_id", "passed",
+    "observed", "threshold", "rows_checked", "violation_count",
+]
+VIOLATION_COLUMNS = [
+    "partition_id", "constraint_id", "snapshot_id",
+    "conv_id", "turn_idx", "column", "value", "detail",
+]
+
+_VALUE_TRUNC = 256
+
+ROW_LEVEL_KINDS = {
+    "not_null", "not_empty", "referential", "cast_ok",
+    "in_range", "matches", "cross_field_null",
+}
+
+
+@dataclass
+class _RowCheck:
+    constraint: Constraint
+    pred: F.Column          # true when the row VIOLATES
+    column: str             # offending column name (lineage)
+    value: F.Column         # stringified offending value
+    detail: F.Column
+    threshold: float
+
+
+class SuiteEvaluator:
+    """Evaluates a :class:`ConstraintSuite` against a transcripts
+    DataFrame, returning (results, violations) DataFrames with the
+    FIXTURES.md §3/§4 schemas (minus run_id/evaluated_at, which the
+    runner stamps)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        suite: ConstraintSuite,
+        vocab_dfs: dict[str, DataFrame] | None = None,
+    ):
+        self.spark = spark
+        self.suite = suite
+        self.vocab_dfs = vocab_dfs or {}
+
+    # ------------------------------------------------------------------ api
+    def evaluate(
+        self,
+        df: DataFrame,
+        ref_df: DataFrame | None = None,
+        snapshot_id: int = 0,
+        with_violations: bool = True,
+    ) -> tuple[DataFrame, DataFrame]:
+        part = self._partition_id_col(df)
+        df = df.withColumn("_pid", part)
+
+        results: list[DataFrame] = []
+        violations: list[DataFrame] = []
+
+        row_checks = [
+            self._row_check(c) for c in self.suite.constraints
+            if c.kind in ROW_LEVEL_KINDS and self._fusable(c)
+        ]
+        if row_checks:
+            results.append(self._row_agg(df, row_checks))
+            if with_violations:
+                violations.append(self._row_violations(df, row_checks))
+
+        for c in self.suite.constraints:
+            if c.kind in ROW_LEVEL_KINDS and not self._fusable(c):
+                r, v = self._referential_join(df, c)
+                results.append(r)
+                if with_violations and v is not None:
+                    violations.append(v)
+            elif c.kind == "unique":
+                r, v = self._unique(df, c)
+                results.append(r)
+                if with_violations:
+                    violations.append(v)
+            elif c.kind == "column_stats":
+                results.append(self._column_stats(df, c))
+            elif c.kind == "quantiles":
+                results.append(self._quantiles(df, c))
+            elif c.kind == "text_equality":
+                if ref_df is None:
+                    continue
+                r, v = self._text_equality(df, ref_df, c)
+                results.append(r)
+                if with_violations:
+                    violations.append(v)
+            elif c.kind in ("drift_psi", "drift_ks"):
+                if ref_df is None:
+                    continue
+                results.append(self._drift(df, ref_df, c))
+
+        res = results[0]
+        for r in results[1:]:
+            res = res.unionByName(r, allowMissingColumns=False)
+        res = res.withColumn("snapshot_id", F.lit(snapshot_id).cast("long")) \
+                 .select(*RESULT_COLUMNS)
+
+        if violations:
+            vio = violations[0]
+            for v in violations[1:]:
+                vio = vio.unionByName(v)
+        else:
+            vio = self.spark.createDataFrame(
+                [], self._violation_ddl()
+            )
+        vio = vio.withColumn("snapshot_id", F.lit(snapshot_id).cast("long")) \
+                 .select(*VIOLATION_COLUMNS)
+        return res, vio
+
+    # ------------------------------------------------------------ internals
+    def _violation_ddl(self) -> str:
+        return ("partition_id string, constraint_id string, snapshot_id long, "
+                "conv_id string, turn_idx int, column string, value string, "
+                "detail string")
+
+    def _partition_id_col(self, df: DataFrame) -> F.Column:
+        return F.format_string(
+            self.suite.partition_fmt, F.col(self.suite.partition_col)
+        )
+
+    def _fusable(self, c: Constraint) -> bool:
+        """RI declared via a named dim DataFrame uses the broadcast
+        left-anti plan; everything else row-level fuses into one scan."""
+        return not (c.kind == "referential" and c.params.get("vocab_name"))
+
+    # -- row-level family ---------------------------------------------------
+    def _row_check(self, c: Constraint) -> _RowCheck:
+        p = c.params
+        kind = c.kind
+        if kind == "not_null":
+            col = F.col(p["col"])
+            return _RowCheck(c, col.isNull(), p["col"],
+                             F.lit(None).cast("string"), F.lit("null"),
+                             p.get("max_null_rate", 0.0))
+        if kind == "not_empty":
+            col = F.col(p["col"])
+            pred = col.isNotNull() & (F.trim(col) == "")
+            return _RowCheck(c, pred, p["col"], F.lit("").cast("string"),
+                             F.lit("empty_after_trim"), p.get("max_rate", 0.0))
+        if kind == "referential":
+            col = F.col(p["col"])
+            bad = col.isNotNull() & ~col.isin(*p["vocab"])
+            if not p.get("allow_null", True):
+                bad = bad | col.isNull()
+            detail = F.format_string("not in %s vocabulary", F.lit(p["col"]))
+            return _RowCheck(c, bad, p["col"], self._sval(col), detail,
+                             p.get("max_rate", 0.0))
+        if kind == "cast_ok":
+            col = F.col(p["col"])
+            pred = col.isNotNull() & col.cast(p["dtype"]).isNull()
+            return _RowCheck(c, pred, p["col"], self._sval(col),
+                             F.lit(f"not castable to {p['dtype']}"),
+                             p.get("max_rate", 0.0))
+        if kind == "in_range":
+            col = F.col(p["col"])
+            conds = []
+            if p.get("lo") is not None:
+                conds.append(col < F.lit(p["lo"]))
+            if p.get("hi") is not None:
+                conds.append(col > F.lit(p["hi"]))
+            pred = col.isNotNull() & conds[0] if conds else F.lit(False)
+            for extra in conds[1:]:
+                pred = pred | (col.isNotNull() & extra)
+            return _RowCheck(c, pred, p["col"], self._sval(col),
+                             F.lit(f"outside [{p.get('lo')}, {p.get('hi')}]"),
+                             p.get("max_rate", 0.0))
+        if kind == "matches":
+            col = F.col(p["col"])
+            pred = col.isNotNull() & ~col.rlike(p["pattern"])
+            return _RowCheck(c, pred, p["col"], self._sval(col),
+                             F.lit(f"!~ /{p['pattern']}/"),
+                             p.get("max_rate", 0.0))
+        if kind == "cross_field_null":
+            anchor = F.col(p["anchor"])
+            dep_not_null = None
+            for d in p["dependents"]:
+                cond = F.col(d).isNotNull()
+                dep_not_null = cond if dep_not_null is None else (dep_not_null | cond)
+            pred = anchor.isNull() & dep_not_null
+            return _RowCheck(
+                c, pred, p["anchor"],
+                self._sval(F.concat_ws(",", *[F.col(d) for d in p["dependents"]])),
+                F.lit(f"anchor {p['anchor']} null but dependents set"),
+                p.get("max_rate", 0.0))
+        raise ValueError(f"unknown row-level kind {kind}")
+
+    @staticmethod
+    def _sval(col: F.Column) -> F.Column:
+        return F.substring(col.cast("string"), 1, _VALUE_TRUNC)
+
+    def _row_agg(self, df: DataFrame, checks: list[_RowCheck]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, rc in enumerate(checks):
+            aggs.append(F.sum(rc.pred.cast("long")).alias(f"__v{i}"))
+        base = df.groupBy("_pid").agg(*aggs)
+        entries = F.array(*[
+            F.struct(
+                F.lit(rc.constraint.constraint_id).alias("constraint_id"),
+                F.col(f"__v{i}").alias("violation_count"),
+                F.lit(rc.threshold).cast("double").alias("threshold"),
+            )
+            for i, rc in enumerate(checks)
+        ])
+        out = (
+            base.select(F.col("_pid").alias("partition_id"),
+                        F.col("__rows").alias("rows_checked"),
+                        F.explode(entries).alias("e"))
+            .select(
+                "partition_id",
+                F.col("e.constraint_id").alias("constraint_id"),
+                (F.col("e.violation_count") / F.col("rows_checked"))
+                .cast("double").alias("observed"),
+                F.col("e.threshold").alias("threshold"),
+                "rows_checked",
+                F.col("e.violation_count").alias("violation_count"),
+            )
+            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        )
+        return out
+
+    def _row_violations(self, df: DataFrame, checks: list[_RowCheck]) -> DataFrame:
+        any_pred = checks[0].pred
+        for rc in checks[1:]:
+            any_pred = any_pred | rc.pred
+        structs = F.array(*[
+            F.when(rc.pred, F.struct(
+                F.lit(rc.constraint.constraint_id).alias("constraint_id"),
+                F.lit(rc.column).alias("column"),
+                rc.value.alias("value"),
+                rc.detail.cast("string").alias("detail"),
+            ))
+            for rc in checks
+        ])
+        keys = [F.col(k) for k in self.suite.key_cols]
+        return (
+            df.where(any_pred)  # pushed to the scan; all-green data reads ~nothing
+            .select(F.col("_pid").alias("partition_id"), *keys,
+                    F.explode(F.array_compact(structs)).alias("e"))
+            .select(
+                "partition_id",
+                F.col("e.constraint_id").alias("constraint_id"),
+                *self.suite.key_cols,
+                F.col("e.column").alias("column"),
+                F.col("e.value").alias("value"),
+                F.col("e.detail").alias("detail"),
+            )
+        )
+
+    # -- referential via broadcast left-anti --------------------------------
+    def _referential_join(
+        self, df: DataFrame, c: Constraint
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """RI against a dim DataFrame: violations = left_anti(broadcast
+        dim) — the J6 plan. Used when the vocabulary is a managed table
+        rather than an inline enum."""
+        p = c.params
+        col = p["col"]
+        if p["vocab_name"] not in self.vocab_dfs:
+            raise ValueError(
+                f"constraint {c.constraint_id!r} references vocabulary "
+                f"{p['vocab_name']!r} but no such dim DataFrame was supplied; "
+                f"available: {sorted(self.vocab_dfs)}"
+            )
+        vocab = self.vocab_dfs[p["vocab_name"]]
+        vocab_col = vocab.columns[0]
+        dim = F.broadcast(vocab.select(F.col(vocab_col).alias(col)).distinct())
+
+        candidates = df.where(F.col(col).isNotNull()) if p.get("allow_null", True) else df
+        bad = candidates.join(dim, on=col, how="left_anti")
+
+        totals = df.groupBy("_pid").agg(F.count(F.lit(1)).alias("rows_checked"))
+        bad_counts = bad.groupBy("_pid").agg(F.count(F.lit(1)).alias("violation_count"))
+        res = (
+            totals.join(bad_counts, "_pid", "left")
+            .withColumn("violation_count", F.coalesce("violation_count", F.lit(0)))
+            .select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                (F.col("violation_count") / F.col("rows_checked"))
+                .cast("double").alias("observed"),
+                F.lit(p.get("max_rate", 0.0)).cast("double").alias("threshold"),
+                "rows_checked", "violation_count",
+            )
+            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        )
+        vio = bad.select(
+            F.col("_pid").alias("partition_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            *self.suite.key_cols,
+            F.lit(col).alias("column"),
+            self._sval(F.col(col)).alias("value"),
+            F.lit(f"not in {p['vocab_name']} vocabulary").alias("detail"),
+        )
+        return res, vio
+
+    # -- uniqueness ----------------------------------------------------------
+    def _unique(self, df: DataFrame, c: Constraint) -> tuple[DataFrame, DataFrame]:
+        """Two-stage salted hash-aggregate (north rule). Stage 1 groups by
+        (key, input-partition) so a hot key's rows combine locally before
+        the shuffle; stage 2 merges the partial counts. Physically this is
+        the partial/final split Spark's hash aggregate performs — made
+        explicit here so the skew posture is visible and testable."""
+        keys = c.params["cols"]
+        stage1 = (
+            df.groupBy("_pid", *keys, F.spark_partition_id().alias("_salt"))
+            .agg(F.count(F.lit(1)).alias("_partial"))
+        )
+        counts = (
+            stage1.groupBy("_pid", *keys)
+            .agg(F.sum("_partial").alias("dup_count"))
+        )
+        dups = counts.where(F.col("dup_count") > 1)
+
+        totals = df.groupBy("_pid").agg(F.count(F.lit(1)).alias("rows_checked"))
+        agg = dups.groupBy("_pid").agg(
+            F.sum(F.col("dup_count") - 1).alias("violation_count")
+        )
+        res = (
+            totals.join(agg, "_pid", "left")
+            .withColumn("violation_count",
+                        F.coalesce("violation_count", F.lit(0)).cast("long"))
+            .select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                (F.col("violation_count") / F.col("rows_checked"))
+                .cast("double").alias("observed"),
+                F.lit(0.0).alias("threshold"),
+                "rows_checked", "violation_count",
+            )
+            .withColumn("passed", F.col("violation_count") == 0)
+        )
+        key_cols = list(self.suite.key_cols)
+        vio = dups.select(
+            F.col("_pid").alias("partition_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            *[
+                (F.col(k) if k in keys else F.lit(None)).alias(k)
+                for k in key_cols
+            ],
+            F.lit(",".join(keys)).alias("column"),
+            self._sval(F.concat_ws("|", *[F.col(k) for k in keys])).alias("value"),
+            F.format_string("duplicate_count=%d", F.col("dup_count")).alias("detail"),
+        )
+        return res, vio
+
+    # -- stats / quantiles ----------------------------------------------------
+    def _column_stats(self, df: DataFrame, c: Constraint) -> DataFrame:
+        expr = F.expr(c.params["col"])
+        base = df.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("rows_checked"),
+            (F.sum(expr.isNull().cast("long")) / F.count(F.lit(1)))
+            .alias("null_rate"),
+            F.min(expr).cast("double").alias("min"),
+            F.max(expr).cast("double").alias("max"),
+            F.avg(expr).cast("double").alias("mean"),
+            F.approx_count_distinct(expr).cast("double").alias("approx_distinct"),
+        )
+        stats = ["null_rate", "min", "max", "mean", "approx_distinct"]
+        entries = F.array(*[
+            F.struct(F.lit(s).alias("stat"),
+                     F.col(s).cast("double").alias("observed"))
+            for s in stats
+        ])
+        return (
+            base.select(F.col("_pid").alias("partition_id"),
+                        "rows_checked", F.explode(entries).alias("e"))
+            .select(
+                "partition_id",
+                F.concat(F.lit(c.constraint_id + "#"), F.col("e.stat"))
+                .alias("constraint_id"),
+                F.col("e.observed").alias("observed"),
+                F.lit(None).cast("double").alias("threshold"),
+                "rows_checked",
+                F.lit(0).cast("long").alias("violation_count"),
+            )
+            .withColumn("passed", F.lit(True))
+        )
+
+    def _quantiles(self, df: DataFrame, c: Constraint) -> DataFrame:
+        expr = F.expr(c.params["col"])
+        qs = c.params["qs"]
+        acc = c.params.get("accuracy", 10000)
+        base = df.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("rows_checked"),
+            F.percentile_approx(expr, qs, acc).alias("qv"),
+        )
+        entries = F.array(*[
+            F.struct(F.lit(f"p{int(q * 100)}").alias("q"),
+                     F.element_at("qv", i + 1).cast("double").alias("observed"))
+            for i, q in enumerate(qs)
+        ])
+        return (
+            base.select(F.col("_pid").alias("partition_id"),
+                        "rows_checked", F.explode(entries).alias("e"))
+            .select(
+                "partition_id",
+                F.concat(F.lit(c.constraint_id + "#"), F.col("e.q"))
+                .alias("constraint_id"),
+                F.col("e.observed").alias("observed"),
+                F.lit(None).cast("double").alias("threshold"),
+                "rows_checked",
+                F.lit(0).cast("long").alias("violation_count"),
+            )
+            .withColumn("passed", F.lit(True))
+        )
+
+    # -- text equality vs reference snapshot ----------------------------------
+    def _stable_dedup(self, df: DataFrame, col: str) -> DataFrame:
+        """Stable turn ordering + last-wins dedup (W1 + W3): one row per
+        (conv_id, turn_idx), the winner chosen by (ts desc, text-hash)
+        so the result is a total order — parallelism-invariant even with
+        tied timestamps (risk register, SURVEY.md §7.4)."""
+        keys = list(self.suite.key_cols)
+        w = W.partitionBy(*keys).orderBy(
+            F.col("ts").desc_nulls_last(), F.xxhash64(F.col(col)).asc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _text_equality(
+        self, df: DataFrame, ref_df: DataFrame, c: Constraint
+    ) -> tuple[DataFrame, DataFrame]:
+        p = c.params
+        col = p["col"]
+        keys = list(self.suite.key_cols)
+        norm_opts = dict(
+            lowercase=p["lowercase"], collapse_ws=p["collapse_ws"],
+            strip_punct=p["strip_punct"], strip_diacritics=p["strip_diacritics"],
+        )
+
+        ref = ref_df.withColumn("_pid", self._partition_id_col(ref_df))
+        cur_d = self._stable_dedup(df, col).select(
+            *keys, F.col("_pid").alias("_pid_cur"),
+            normalize_text(F.col(col), **norm_opts).alias("_cur_norm"),
+            self._sval(F.col(col)).alias("_cur_val"),
+        )
+        ref_d = self._stable_dedup(ref, col).select(
+            *keys, F.col("_pid").alias("_pid_ref"),
+            normalize_text(F.col(col), **norm_opts).alias("_ref_norm"),
+        )
+        joined = cur_d.join(ref_d, on=keys, how="full_outer").withColumn(
+            "_pid", F.coalesce("_pid_cur", "_pid_ref")
+        )
+        status = (
+            F.when(F.col("_pid_cur").isNull(), F.lit("missing_in_current"))
+            .when(F.col("_pid_ref").isNull(), F.lit("extra_in_current"))
+            .when(F.col("_cur_norm").eqNullSafe(F.col("_ref_norm")), F.lit("match"))
+            .otherwise(F.lit("mismatch"))
+        )
+        classified = joined.withColumn("_status", status)
+
+        res = (
+            classified.groupBy("_pid").agg(
+                F.count(F.lit(1)).alias("rows_checked"),
+                F.sum((F.col("_status") != "match").cast("long"))
+                .alias("violation_count"),
+            )
+            .select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                (F.col("violation_count") / F.col("rows_checked"))
+                .cast("double").alias("observed"),
+                F.lit(p.get("max_mismatch_rate", 0.0)).cast("double")
+                .alias("threshold"),
+                "rows_checked",
+                F.col("violation_count").cast("long").alias("violation_count"),
+            )
+            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        )
+        vio = (
+            classified.where(F.col("_status") != "match")
+            .select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                *keys,
+                F.lit(col).alias("column"),
+                F.col("_cur_val").alias("value"),
+                F.col("_status").alias("detail"),
+            )
+        )
+        return res, vio
+
+    # -- drift (PSI / KS over binned histograms) ------------------------------
+    def _histogram(self, df: DataFrame, expr: F.Column, bins: int,
+                   lo: float, hi: float, cnt_name: str) -> DataFrame:
+        width = (hi - lo) / bins
+        b = (
+            F.when(expr.isNull(), F.lit(-1))
+            .otherwise(
+                F.least(F.lit(bins - 1),
+                        F.greatest(F.lit(0),
+                                   F.floor((expr - lo) / width)))
+            )
+        ).cast("int")
+        return df.groupBy("_pid", b.alias("bin")).agg(
+            F.count(F.lit(1)).alias(cnt_name)
+        )
+
+    def _drift(self, df: DataFrame, ref_df: DataFrame, c: Constraint) -> DataFrame:
+        """PSI / KS between current and reference per partition. Only bin
+        counts are shuffled (bins × partitions rows), never raw data —
+        the same partial/final discipline as A3."""
+        p = c.params
+        expr = F.expr(p["expr"])
+        bins, lo, hi = p["bins"], p["lo"], p["hi"]
+        eps = 1e-9
+
+        ref = ref_df.withColumn("_pid", self._partition_id_col(ref_df))
+        h_cur = self._histogram(df, expr, bins, lo, hi, "n_cur")
+        h_ref = self._histogram(ref, expr, bins, lo, hi, "n_ref")
+        joined = (
+            h_cur.join(h_ref, ["_pid", "bin"], "full_outer")
+            .fillna(0, ["n_cur", "n_ref"])
+        )
+        wp = W.partitionBy("_pid")
+        probs = joined.withColumn(
+            "p", F.col("n_cur") / F.sum("n_cur").over(wp)
+        ).withColumn(
+            "q", F.col("n_ref") / F.sum("n_ref").over(wp)
+        )
+
+        if c.kind == "drift_psi":
+            contrib = (F.col("p") - F.col("q")) * F.log(
+                (F.col("p") + eps) / (F.col("q") + eps)
+            )
+            stat = probs.groupBy("_pid").agg(
+                F.sum(contrib).alias("observed"),
+                F.sum("n_cur").alias("rows_checked"),
+            )
+        else:  # drift_ks: max |CDF_cur - CDF_ref| over ordered bins
+            wcum = W.partitionBy("_pid").orderBy("bin") \
+                    .rowsBetween(W.unboundedPreceding, 0)
+            cdfs = probs.withColumn("cp", F.sum("p").over(wcum)) \
+                        .withColumn("cq", F.sum("q").over(wcum))
+            stat = cdfs.groupBy("_pid").agg(
+                F.max(F.abs(F.col("cp") - F.col("cq"))).alias("observed"),
+                F.sum("n_cur").alias("rows_checked"),
+            )
+
+        thr = p["threshold"]
+        return stat.select(
+            F.col("_pid").alias("partition_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.col("observed").cast("double").alias("observed"),
+            F.lit(thr).cast("double").alias("threshold"),
+            F.col("rows_checked").cast("long").alias("rows_checked"),
+            F.lit(0).cast("long").alias("violation_count"),
+        ).withColumn("passed", F.col("observed") <= F.col("threshold"))

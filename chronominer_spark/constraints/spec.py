@@ -1,0 +1,223 @@
+"""Constraint specs — the declarative "schema" of the validation engine.
+
+Derivation from the reference's JSON-Schema semantics (SURVEY.md §1.3):
+
+- strict ``required`` field              -> :func:`not_null`
+- union-null field w/ monitoring        -> :func:`not_null` w/ threshold
+- ``enum`` vocabulary                   -> :func:`referential` (broadcast
+  dim + left-anti violations, ``schemas/bibliographic_schema.json:111-135``)
+- ``type`` correctness                  -> :func:`cast_ok`
+- value-range rules                     -> :func:`in_range`
+- key identity (custom_id unique)       -> :func:`unique` (dedup logic at
+  ``modules/extract/batch_output.py:108-128``)
+- anchor-null cross-field invariant     -> :func:`cross_field_null`
+  (``schemas/bibliographic_schema.json:98``)
+- empty-output guard                    -> :func:`not_empty`
+  (``modules/extract/processing_strategy.py:639-659``)
+- ground-truth comparison               -> :func:`text_equality`
+  (``eval/jsonl_eval.py:366-395``, ``eval/metrics.py:200-306``)
+- distribution monitoring               -> :func:`drift_psi` / :func:`drift_ks`
+
+A suite is hashable (canonical-JSON sha256) so the checkpoint manifest can
+refuse to resume across config drift, mirroring the fingerprint-chained
+JSONL headers (``/root/reference/modules/infra/jsonl.py:119-277``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One check. ``kind`` selects the evaluation plan; ``params`` are
+    plain JSON-serializable values so the suite hash is stable."""
+
+    constraint_id: str
+    kind: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "constraint_id": self.constraint_id,
+            "kind": self.kind,
+            "params": self.params,
+        }
+
+
+# ---- constructors ----------------------------------------------------------
+
+def not_null(col: str, max_null_rate: float = 0.0) -> Constraint:
+    return Constraint(f"not_null:{col}", "not_null",
+                      {"col": col, "max_null_rate": max_null_rate})
+
+
+def not_empty(col: str, max_rate: float = 0.0) -> Constraint:
+    """Blank-after-trim values are violations (empty-output guard P8)."""
+    return Constraint(f"not_empty:{col}", "not_empty",
+                      {"col": col, "max_rate": max_rate})
+
+
+def unique(*cols: str) -> Constraint:
+    return Constraint(f"unique:{','.join(cols)}", "unique", {"cols": list(cols)})
+
+
+def referential(
+    col: str,
+    vocab: list[str] | None = None,
+    vocab_name: str | None = None,
+    allow_null: bool = True,
+    max_rate: float = 0.0,
+) -> Constraint:
+    """Membership in a closed vocabulary. ``vocab`` inline (tiny enums) or
+    ``vocab_name`` referencing a dim DataFrame supplied at evaluation time
+    (broadcast + left-anti). Nullable enums admit null, mirroring
+    ``tests/test_schema_invariants.py:71-90``."""
+    return Constraint(
+        f"ri:{col}", "referential",
+        {"col": col, "vocab": vocab, "vocab_name": vocab_name,
+         "allow_null": allow_null, "max_rate": max_rate},
+    )
+
+
+def cast_ok(col: str, dtype: str, max_rate: float = 0.0) -> Constraint:
+    return Constraint(f"cast:{col}:{dtype}", "cast_ok",
+                      {"col": col, "dtype": dtype, "max_rate": max_rate})
+
+
+def in_range(col: str, lo: float | None = None, hi: float | None = None,
+             max_rate: float = 0.0) -> Constraint:
+    return Constraint(f"range:{col}", "in_range",
+                      {"col": col, "lo": lo, "hi": hi, "max_rate": max_rate})
+
+
+def matches(col: str, pattern: str, max_rate: float = 0.0) -> Constraint:
+    return Constraint(f"regex:{col}", "matches",
+                      {"col": col, "pattern": pattern, "max_rate": max_rate})
+
+
+def cross_field_null(anchor: str, dependents: list[str], max_rate: float = 0.0) -> Constraint:
+    """When ``anchor`` is null, every dependent must be null too (the
+    anchor-null rule, ``schemas/bibliographic_schema.json:98``)."""
+    return Constraint(
+        f"xnull:{anchor}", "cross_field_null",
+        {"anchor": anchor, "dependents": dependents, "max_rate": max_rate},
+    )
+
+
+def column_stats(col: str) -> Constraint:
+    """Observe-only per-partition profile: null-rate, min, max, mean,
+    approx-distinct (HLL). Always passes; feeds monitoring."""
+    return Constraint(f"stats:{col}", "column_stats", {"col": col})
+
+
+def quantiles(col: str, qs: list[float] | None = None, accuracy: int = 10000) -> Constraint:
+    return Constraint(
+        f"quantiles:{col}", "quantiles",
+        {"col": col, "qs": qs or [0.5, 0.9, 0.99], "accuracy": accuracy},
+    )
+
+
+def text_equality(
+    col: str = "text",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+    strip_punct: bool = False,
+    strip_diacritics: bool = False,
+    max_mismatch_rate: float = 0.0,
+) -> Constraint:
+    """Per-turn text equality vs the reference snapshot under stable turn
+    ordering (W1) — normalization knobs mirror the matching config at
+    ``/root/reference/modules/line_ranges/readjuster.py:260-273``."""
+    return Constraint(
+        f"eq:{col}", "text_equality",
+        {"col": col, "lowercase": lowercase, "collapse_ws": collapse_ws,
+         "strip_punct": strip_punct, "strip_diacritics": strip_diacritics,
+         "max_mismatch_rate": max_mismatch_rate},
+    )
+
+
+def drift_psi(expr: str, bins: int = 20, lo: float = 0.0, hi: float = 1000.0,
+              threshold: float = 0.2, constraint_id: str | None = None) -> Constraint:
+    return Constraint(
+        constraint_id or f"psi:{expr}", "drift_psi",
+        {"expr": expr, "bins": bins, "lo": lo, "hi": hi, "threshold": threshold},
+    )
+
+
+def drift_ks(expr: str, bins: int = 50, lo: float = 0.0, hi: float = 1000.0,
+             threshold: float = 0.1, constraint_id: str | None = None) -> Constraint:
+    return Constraint(
+        constraint_id or f"ks:{expr}", "drift_ks",
+        {"expr": expr, "bins": bins, "lo": lo, "hi": hi, "threshold": threshold},
+    )
+
+
+# ---- suite -----------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ConstraintSuite:
+    """Named, versioned set of constraints over one table.
+
+    ``partition_col`` is the physical partition column; ``partition_fmt``
+    renders it to the lineage ``partition_id`` string. ``key_cols`` name
+    the row identity used in violation rows.
+    """
+
+    name: str
+    constraints: tuple
+    version: str = "1"
+    partition_col: str = "pbucket"
+    partition_fmt: str = "conv_bucket=%d"
+    key_cols: tuple = ("conv_id", "turn_idx")
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "version": self.version,
+            "partition_col": self.partition_col,
+            "partition_fmt": self.partition_fmt,
+            "key_cols": list(self.key_cols),
+            "constraints": [c.to_dict() for c in self.constraints],
+        }
+
+    def suite_hash(self) -> str:
+        """Canonical sha256 of the resolved suite config. Drift in this
+        hash invalidates checkpoints (mirrors header validation at
+        ``/root/reference/modules/infra/jsonl.py:232-277``)."""
+        blob = json.dumps(self.to_dict(), sort_keys=True, separators=(",", ":"))
+        return hashlib.sha256(blob.encode("utf-8")).hexdigest()
+
+    def constraint_ids(self) -> list[str]:
+        return [c.constraint_id for c in self.constraints]
+
+
+def default_transcript_suite(
+    role_vocab: list[str], tool_vocab: list[str]
+) -> ConstraintSuite:
+    """The flagship suite over the transcripts table (BASELINE.json
+    north_star): stats, uniqueness, RI, cross-field, equality, drift."""
+    return ConstraintSuite(
+        name="transcripts_default",
+        constraints=(
+            not_null("conv_id"),
+            not_null("turn_idx"),
+            not_null("role", max_null_rate=0.0),
+            not_empty("text"),
+            unique("conv_id", "turn_idx"),
+            referential("role", vocab=role_vocab, allow_null=False),
+            referential("tool", vocab=tool_vocab, allow_null=True),
+            in_range("turn_idx", lo=1),
+            matches("conv_id", r"^conv-\d{8}$"),
+            cross_field_null("text", ["tool"]),  # null text ⇒ no tool call
+            column_stats("turn_idx"),
+            column_stats("length(text)"),
+            quantiles("length(text)"),
+            text_equality("text"),
+            drift_psi("length(text)", bins=20, lo=0.0, hi=1000.0),
+            drift_ks("length(text)", bins=50, lo=0.0, hi=1000.0),
+        ),
+    )

@@ -1,0 +1,200 @@
+"""Constraint-engine correctness: every family's counts match an
+independently-formulated plain-SQL oracle over the same data (the analog
+of the reference's golden ground-truth corpus, FIXTURES.md §6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronominer_spark.constraints import SuiteEvaluator
+from chronominer_spark.constraints.spec import (
+    ConstraintSuite,
+    column_stats,
+    cross_field_null,
+    default_transcript_suite,
+    drift_ks,
+    drift_psi,
+    in_range,
+    matches,
+    not_empty,
+    not_null,
+    quantiles,
+    referential,
+    text_equality,
+    unique,
+)
+from chronominer_spark.datagen import ROLE_VOCAB, TOOL_VOCAB, role_vocab_df
+
+
+@pytest.fixture(scope="module")
+def evaluated(spark, transcripts, ref_snapshot):
+    suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
+    ev = SuiteEvaluator(spark, suite)
+    res, vio = ev.evaluate(transcripts, ref_snapshot, snapshot_id=7)
+    return res.cache(), vio.cache()
+
+
+def _total(res, cid):
+    rows = res.where(F.col("constraint_id") == cid).agg(
+        F.sum("violation_count").alias("v"), F.sum("rows_checked").alias("n")
+    ).collect()[0]
+    return rows["v"], rows["n"]
+
+
+def test_not_null_role_matches_oracle(evaluated, transcripts):
+    res, _ = evaluated
+    v, n = _total(res, "not_null:role")
+    assert n == transcripts.count()
+    assert v == transcripts.where(F.col("role").isNull()).count()
+
+
+def test_not_empty_text_matches_oracle(evaluated, transcripts):
+    res, _ = evaluated
+    v, _ = _total(res, "not_empty:text")
+    oracle = transcripts.where(
+        F.col("text").isNotNull() & (F.trim("text") == "")
+    ).count()
+    assert v == oracle
+
+
+def test_unique_matches_oracle(evaluated, transcripts):
+    res, vio = evaluated
+    v, _ = _total(res, "unique:conv_id,turn_idx")
+    oracle_excess = (
+        transcripts.groupBy("conv_id", "turn_idx").count()
+        .where(F.col("count") > 1)
+        .agg(F.sum(F.col("count") - 1)).collect()[0][0]
+    )
+    assert v == oracle_excess
+    dup_keys = vio.where(F.col("constraint_id") == "unique:conv_id,turn_idx").count()
+    oracle_keys = (
+        transcripts.groupBy("conv_id", "turn_idx").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup_keys == oracle_keys
+
+
+def test_referential_role_matches_oracle(evaluated, transcripts):
+    res, _ = evaluated
+    v, _ = _total(res, "ri:role")
+    # allow_null=False in the default suite: nulls count as violations too
+    oracle = transcripts.where(
+        F.col("role").isNull() | ~F.col("role").isin(ROLE_VOCAB)
+    ).count()
+    assert v == oracle
+
+
+def test_referential_tool_matches_oracle(evaluated, transcripts):
+    res, _ = evaluated
+    v, _ = _total(res, "ri:tool")
+    oracle = transcripts.where(
+        F.col("tool").isNotNull() & ~F.col("tool").isin(TOOL_VOCAB)
+    ).count()
+    assert v == oracle
+
+
+def test_referential_broadcast_join_mode_agrees(spark, transcripts, evaluated):
+    """The broadcast+left-anti plan and the fused isin plan agree."""
+    suite = ConstraintSuite(
+        name="ri_join", constraints=(referential("role", vocab_name="roles", allow_null=False),),
+    )
+    ev = SuiteEvaluator(spark, suite, {"roles": role_vocab_df(spark)})
+    res, vio = ev.evaluate(transcripts)
+    res_fused, _ = evaluated
+    v_join, _ = _total(res, "ri:role")
+    v_fused, _ = _total(res_fused, "ri:role")
+    assert v_join == v_fused
+
+
+def test_in_range_and_regex(evaluated):
+    res, _ = evaluated
+    v_range, _ = _total(res, "range:turn_idx")
+    assert v_range == 0  # generator emits 1-based indices
+    v_re, _ = _total(res, "regex:conv_id")
+    assert v_re == 0
+
+
+def test_cross_field_null(evaluated, transcripts):
+    res, _ = evaluated
+    v, _ = _total(res, "xnull:text")
+    oracle = transcripts.where(
+        F.col("text").isNull() & F.col("tool").isNotNull()
+    ).count()
+    assert v == oracle
+
+
+def test_column_stats_match_oracle(evaluated, transcripts):
+    res, _ = evaluated
+    got = {
+        r["constraint_id"]: r["observed"]
+        for r in res.where(F.col("constraint_id").startswith("stats:turn_idx#"))
+        .groupBy("constraint_id")
+        .agg(F.max("observed").alias("observed")).collect()
+    }
+    oracle_max = transcripts.agg(F.max("turn_idx")).collect()[0][0]
+    assert got["stats:turn_idx#max"] == float(oracle_max)
+    assert got["stats:turn_idx#null_rate"] == 0.0
+
+
+def test_quantiles_present_and_ordered(evaluated):
+    res, _ = evaluated
+    rows = (
+        res.where(F.col("constraint_id").startswith("quantiles:"))
+        .groupBy("constraint_id").agg(F.avg("observed").alias("o")).collect()
+    )
+    byq = {r["constraint_id"].split("#")[1]: r["o"] for r in rows}
+    assert byq["p50"] <= byq["p90"] <= byq["p99"]
+
+
+def test_text_equality_counts(evaluated, transcripts, ref_snapshot):
+    _, vio = evaluated
+    eq = vio.where(F.col("constraint_id") == "eq:text")
+    by_detail = {r["detail"]: r["n"] for r in
+                 eq.groupBy("detail").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # added turns in ref -> missing_in_current; dropped -> extra_in_current
+    added = ref_snapshot.where(F.col("turn_idx") > 1_000_000).count()
+    assert by_detail.get("missing_in_current", 0) >= added
+    assert by_detail.get("mismatch", 0) > 0
+    mutated = ref_snapshot.where(F.col("text").endswith("MUTATED")).count()
+    assert by_detail.get("mismatch", 0) <= mutated
+
+
+def test_drift_small_between_near_identical_snapshots(evaluated):
+    res, _ = evaluated
+    psi = res.where(F.col("constraint_id").startswith("psi:")) \
+        .agg(F.max("observed")).collect()[0][0]
+    ks = res.where(F.col("constraint_id").startswith("ks:")) \
+        .agg(F.max("observed")).collect()[0][0]
+    # snapshots differ by ~0.1% of rows -> tiny drift, well under thresholds
+    assert psi < 0.01
+    assert ks < 0.01
+
+
+def test_drift_detects_shifted_distribution(spark, transcripts):
+    suite = ConstraintSuite(
+        name="drift_only",
+        constraints=(drift_psi("length(text)", bins=20, lo=0.0, hi=1000.0),
+                     drift_ks("length(text)", bins=50, lo=0.0, hi=1000.0)),
+    )
+    shifted = transcripts.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " * 120))
+    )
+    ev = SuiteEvaluator(spark, suite)
+    res, _ = ev.evaluate(transcripts, shifted)
+    psi = res.where(F.col("constraint_id").startswith("psi:")) \
+        .agg(F.min("observed")).collect()[0][0]
+    ks = res.where(F.col("constraint_id").startswith("ks:")) \
+        .agg(F.min("observed")).collect()[0][0]
+    assert psi > 0.2
+    assert ks > 0.1
+
+
+def test_results_schema(evaluated):
+    res, vio = evaluated
+    assert res.columns == [
+        "partition_id", "constraint_id", "snapshot_id", "passed",
+        "observed", "threshold", "rows_checked", "violation_count",
+    ]
+    assert vio.columns == [
+        "partition_id", "constraint_id", "snapshot_id",
+        "conv_id", "turn_idx", "column", "value", "detail",
+    ]
