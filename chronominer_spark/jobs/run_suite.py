@@ -1,0 +1,94 @@
+"""spark-submit entry point: run a constraint suite over a transcripts
+table with checkpoint resume.
+
+Usage (cluster)::
+
+    spark-submit --py-files chronominer_spark.zip \
+        chronominer_spark/jobs/run_suite.py \
+        --table /data/transcripts --ref /data/transcripts_ref \
+        --output /data/validation_out [--snapshot N] [--wave-size K]
+
+Usage (sandbox, synthetic data)::
+
+    python -m chronominer_spark.jobs.run_suite --synthetic 1000000 \
+        --output /tmp/cm_out
+
+Exit codes mirror the reference's contract
+(``/root/reference/main/process_text_files.py:1239-1295``):
+0 complete, 1 partial, 2 failed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", help="transcripts parquet/snapshot-table path")
+    ap.add_argument("--ref", help="reference snapshot path (equality/drift)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic turns instead of reading --table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--snapshot", type=int, default=0)
+    ap.add_argument("--wave-size", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--json", action="store_true", help="one-line JSON summary")
+    args = ap.parse_args(argv)
+
+    from chronominer_spark.constraints.spec import default_transcript_suite
+    from chronominer_spark.datagen import (
+        ROLE_VOCAB,
+        TOOL_VOCAB,
+        TranscriptGenConfig,
+        generate_reference_snapshot,
+        generate_transcripts,
+    )
+    from chronominer_spark.runner import SuiteRunner
+    from chronominer_spark.session import build_session
+
+    spark = build_session("run_suite", master=args.master)
+
+    if args.synthetic:
+        cfg = TranscriptGenConfig(n_turns=args.synthetic,
+                                  n_convs=max(200, args.synthetic // 200))
+        # cache: the suite makes several passes; without this every scan
+        # would re-run the generator (incl. its row_number shuffle)
+        df = generate_transcripts(spark, cfg).cache()
+        ref = generate_reference_snapshot(spark, cfg).cache()
+    else:
+        if not args.table:
+            ap.error("--table or --synthetic required")
+        df = spark.read.parquet(args.table)
+        ref = spark.read.parquet(args.ref) if args.ref else None
+
+    suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
+    runner = SuiteRunner(spark, suite, args.output)
+    summary = runner.run(df, ref, snapshot_id=args.snapshot,
+                         wave_size=args.wave_size)
+
+    payload = {
+        "status": summary.status,
+        "run_id": summary.run_id,
+        "completed": len(summary.completed),
+        "skipped": len(summary.skipped),
+        "failed": len(summary.failed),
+        "rows_validated": summary.rows_validated,
+        "wall_seconds": round(summary.wall_seconds, 2),
+        "turns_per_sec": round(
+            summary.rows_validated / summary.wall_seconds, 1
+        ) if summary.wall_seconds else None,
+    }
+    if args.json:
+        print(json.dumps(payload))
+    else:
+        for k, v in payload.items():
+            print(f"{k}: {v}")
+    spark.stop()
+    return summary.exit_code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

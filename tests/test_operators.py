@@ -1,0 +1,223 @@
+"""In-repo oracles for the operator library — especially the families
+whose driver check is rows-only (LSH, simhash, winnowing, ANN)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronominer_spark.operators.assembly import (
+    full_outer_align,
+    last_wins_dedup,
+    merge_new_wins,
+    sessionize,
+    top_k_per_group,
+)
+from chronominer_spark.operators.dedup import (
+    exact_dedup,
+    hamming_distance,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from chronominer_spark.operators.evalmetrics import field_metrics, micro_macro_summary
+from chronominer_spark.operators.similarity import brute_force_topk, lsh_topk
+from chronominer_spark.operators.textstats import (
+    language_id,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup of 0
+        (2, base + " today"),                       # near dup of 0
+        (3, "completely different text about spark partitions and shuffles"),
+        (4, "  The   QUICK brown fox jumps over the lazy dog near the river bank "),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(docs):
+    kept = exact_dedup(docs, "doc_id", "text")
+    ids = {r["doc_id"] for r in kept.collect()}
+    # 0, 1 and 4 normalize identically -> one survivor (min id = 0)
+    assert 0 in ids and 1 not in ids and 4 not in ids
+    assert {2, 3, 5} <= ids
+    dup = {r["doc_id"]: r["dup_count"] for r in kept.collect()}
+    assert dup[0] == 3
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    d = docs.where(F.col("text").isNotNull())
+    sigs = minhash_signatures(d, "doc_id", "text", k=3, num_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got          # identical
+    assert (0, 2) in got or (1, 2) in got  # near dup shares most shingles
+    assert (0, 3) not in got      # unrelated text must not collide
+
+
+def test_jaccard_values(docs):
+    d = docs.where(F.col("text").isNotNull())
+    pairs = d.select(F.lit(0).alias("id_a"), F.lit(1).alias("id_b")).limit(1).union(
+        d.select(F.lit(0).alias("id_a"), F.lit(3).alias("id_b")).limit(1)
+    )
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in ngram_jaccard_pairs(d, "doc_id", "text", pairs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 3)] < 0.1
+
+
+def test_simhash_near_dup_low_hamming(spark, docs):
+    d = docs.where(F.col("text").isNotNull())
+    sh = simhash(d, "doc_id", "text", bits=32)
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert vals[0] == vals[1]
+    a = sh.where(F.col("doc_id") == 0).select(F.col("simhash").alias("ha"))
+    b = sh.where(F.col("doc_id") == 2).select(F.col("simhash").alias("hb"))
+    d02 = a.crossJoin(b).select(hamming_distance("ha", "hb").alias("d")).collect()[0]["d"]
+    c = sh.where(F.col("doc_id") == 3).select(F.col("simhash").alias("hb"))
+    d03 = a.crossJoin(c).select(hamming_distance("ha", "hb").alias("d")).collect()[0]["d"]
+    assert d02 < d03
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 clusters of 4 near-identical vectors + jitter, dim 8
+    import hashlib
+    rows = []
+    for cluster in range(3):
+        base = [(hashlib.md5(f"{cluster}:{i}".encode()).digest()[0] - 128) / 64.0
+                for i in range(8)]
+        for j in range(4):
+            jit = [(hashlib.md5(f"{cluster}:{j}:{i}".encode()).digest()[1] - 128) / 2048.0
+                   for i in range(8)]
+            rows.append((cluster * 4 + j, [b + e for b, e in zip(base, jit)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _np_topk(rows, qid, k):
+    q = dict(rows)[qid]
+    sims = []
+    for vid, v in rows:
+        if vid == qid:
+            continue
+        dp = sum(x * y for x, y in zip(q, v))
+        na = math.sqrt(sum(x * x for x in q))
+        nb = math.sqrt(sum(x * x for x in v))
+        sims.append((round(dp / (na * nb), 6), vid))
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return [vid for _, vid in sims[:k]]
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    rows = [(r["vec_id"], r["embedding"]) for r in vectors.collect()]
+    got = brute_force_topk(vectors.where(F.col("vec_id") == 0), vectors, k=3)
+    got_ids = [r["neighbor_id"] for r in got.orderBy("rank").collect()]
+    assert got_ids == _np_topk(rows, 0, 3)
+
+
+def test_lsh_topk_recall_on_clustered_vectors(vectors):
+    bf = brute_force_topk(vectors, vectors, k=3)
+    ann = lsh_topk(vectors, vectors, k=3, dim=8, n_bits=4, n_tables=8)
+    hits = ann.join(bf, ["query_id", "neighbor_id"]).count()
+    recall = hits / bf.count()
+    assert recall >= 0.9  # clustered data: hyperplane LSH must find the cluster
+
+
+def test_field_metrics_hand_example(spark):
+    hyp = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)],
+        "k long, f1 string, f2 double",
+    )
+    gt = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "x", 2.0), (4, "c", 9.0)],
+        "k long, f1 string, f2 double",
+    )
+    m = {r["field"]: r for r in field_metrics(hyp, gt, ["k"], ["f1", "f2"]).collect()}
+    # f1: k1 match TP; k2 b vs x -> FP+FN; k3 unmatched hyp None -> nothing;
+    # k4 unmatched gt 'c' -> FN
+    assert (m["f1"]["tp"], m["f1"]["fp"], m["f1"]["fn"]) == (1, 1, 2)
+    # f2: k1 TP; k2 2.0==2.0 TP; k3 unmatched hyp 3.0 FP; k4 unmatched gt FN
+    assert (m["f2"]["tp"], m["f2"]["fp"], m["f2"]["fn"]) == (2, 1, 1)
+    summary = {r["granularity"]: r
+               for r in micro_macro_summary(field_metrics(hyp, gt, ["k"], ["f1", "f2"])).collect()}
+    assert summary["micro"]["precision"] == round(3 / 5, 6)
+
+
+def test_sessionize_hand_example(spark):
+    rows = [
+        (1, "2026-01-01 00:00:00"), (1, "2026-01-01 00:10:00"),
+        (1, "2026-01-01 01:10:00"),  # > 30 min gap -> new session
+        (2, "2026-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string") \
+        .select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    s = sessionize(df, "user_id", "ts", 1800)
+    got = {(r["user_id"], r["ts"].minute, r["ts"].hour): r["session_id"]
+           for r in s.collect()}
+    assert got[(1, 0, 0)] == 1 and got[(1, 10, 0)] == 1 and got[(1, 10, 1)] == 2
+    assert got[(2, 0, 0)] == 1
+
+
+def test_merge_new_wins_keyless_passthrough(spark):
+    base = spark.createDataFrame([(1, "old"), (2, "old")], "k long, v string")
+    upd = spark.createDataFrame([(2, "new"), (3, "new")], "k long, v string")
+    got = {r["k"]: r["v"] for r in merge_new_wins(base, upd, ["k"]).collect()}
+    assert got == {1: "old", 2: "new", 3: "new"}
+
+
+def test_last_wins_dedup_total_order(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 20, "c")], "k long, ord long, v string"
+    )
+    kept = last_wins_dedup(df, ["k"], ["ord", "v"])
+    assert kept.collect()[0]["v"] == "c"
+
+
+def test_full_outer_align_presence(spark):
+    l = spark.createDataFrame([(1,), (2,)], "k long")
+    r = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r2["k"]: r2["presence"]
+           for r2 in full_outer_align(l, r, ["k"], "h", "g").collect()}
+    assert got == {1: "h_only", 2: "both", 3: "g_only"}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9)], "g string, v long"
+    )
+    top = top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    got = sorted((r["g"], r["v"], r["rank"]) for r in top.collect())
+    assert got == [("a", 2, 2), ("a", 3, 1), ("b", 9, 1)]
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([(1, "Hello, world 42!"), (2, ""), (3, None)],
+                               "id long, text string")
+    tc = {r["id"]: r["tc"] for r in
+          df.select("id", token_count("text").alias("tc")).collect()}
+    # hello , world 42 ! -> 5 tokens
+    assert tc == {1: 5, 2: 0, 3: 0}
+    q = quality_features(df)
+    row = q.where(F.col("id") == 1).collect()[0]
+    assert 0 < row["quality_score"] <= 1
+    assert row["punct_ratio"] > 0
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"),
+         (2, "der Hund und die Katze ist von mir"),
+         (3, "xyzzy plugh qwerty")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "und"

@@ -1,0 +1,87 @@
+"""Sources (discovery, permissive JSONL, text scan) and accounting
+(ledger rollup, EWMA, budget admission) tests."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from chronominer_spark.operators.accounting import (
+    accounting_day,
+    budget_check,
+    ewma_per_key,
+    ledger_rollup,
+)
+from chronominer_spark.sources.readers import (
+    discover_files,
+    read_jsonl_permissive,
+    read_text_documents,
+)
+
+
+def test_discover_files_excludes_sidecars(tmp_path):
+    (tmp_path / "a.txt").write_text("x")
+    (tmp_path / "b.md").write_text("x")
+    (tmp_path / "a_output.txt").write_text("x")
+    (tmp_path / "a_line_ranges.txt").write_text("x")
+    (tmp_path / "c.pdf").write_text("x")
+    sub = tmp_path / "sub"; sub.mkdir()
+    (sub / "d.txt").write_text("x")
+    got = [p.split("/")[-1] for p in discover_files(str(tmp_path))]
+    assert got == ["a.txt", "b.md", "d.txt"]
+
+
+def test_read_text_documents_line_numbers(spark, tmp_path):
+    p = tmp_path / "doc.txt"
+    p.write_text("first  line\n\n  third line \n")
+    df = read_text_documents(spark, str(p))
+    rows = sorted((r["line_no"], r["line"]) for r in df.collect())
+    assert rows == [(1, "first  line"), (2, ""), (3, "  third line ")]
+
+
+def test_read_jsonl_permissive_quarantines(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\nnot json at all\n{"a": 3}\n')
+    good, bad = read_jsonl_permissive(spark, str(p))
+    assert sorted(r["a"] for r in good.collect() if r["a"] is not None) == [1, 2, 3]
+    assert bad.count() == 1
+
+
+def test_ledger_rollup_tiers(spark):
+    usage = spark.createDataFrame(
+        [("openai", "k1", 100.0), ("openai", "k2", 50.0), ("gemini", "k1", 25.0)],
+        "provider string, key string, tokens double",
+    )
+    led = ledger_rollup(usage, ["provider", "key"], "tokens")
+    got = {(r["provider"], r["key"]): r["total"] for r in led.collect()}
+    assert got[("openai", "k1")] == 100.0
+    assert got[("openai", "ALL")] == 150.0
+    assert got[("ALL", "ALL")] == 175.0
+
+
+def test_ewma_matches_pandas(spark):
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "k long, ord long, v double")
+    got = {r["ord"]: r["ewma"] for r in ewma_per_key(df, ["k"], "ord", "v").collect()}
+    expect = pd.Series([10.0, 20, 30, 40]).ewm(alpha=0.3, adjust=False).mean()
+    for i in range(4):
+        assert abs(got[i] - expect[i]) < 1e-9
+
+
+def test_accounting_day_rollover(spark):
+    df = spark.createDataFrame(
+        [("2026-01-02 00:00:30",), ("2026-01-02 00:01:30",)], "ts_s string"
+    ).select(F.to_timestamp("ts_s").alias("ts"))
+    days = [str(r["d"]) for r in df.select(accounting_day("ts").alias("d")).collect()]
+    assert days == ["2026-01-01", "2026-01-02"]
+
+
+def test_budget_check_admission(spark):
+    ledger = spark.createDataFrame(
+        [("openai", 9000.0), ("gemini", 100.0)], "provider string, total double"
+    )
+    budgets = spark.createDataFrame(
+        [("openai", 9000.0), ("gemini", 1000.0)], "provider string, budget double"
+    )
+    got = {r["provider"]: (r["exhausted"], r["headroom"])
+           for r in budget_check(ledger, ["provider"], "total", budgets).collect()}
+    assert got["openai"] == (True, 0.0)
+    assert got["gemini"] == (False, 900.0)
