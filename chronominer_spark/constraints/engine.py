@@ -78,6 +78,24 @@ class SuiteEvaluator:
         self.spark = spark
         self.suite = suite
         self.vocab_dfs = vocab_dfs or {}
+        self._persisted: list[DataFrame] = []
+
+    def _share(self, frame: DataFrame) -> DataFrame:
+        """Persist an intermediate that both the results and the
+        violations branch consume, so the two output actions don't
+        recompute it. These frames are narrow and at most one row per
+        key/duplicate — bounded well below the input size; spilled to
+        disk if memory-tight. Call :meth:`unpersist_all` after the
+        outputs are materialized."""
+        from pyspark import StorageLevel
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(frame)
+        return frame
+
+    def unpersist_all(self) -> None:
+        for fr in self._persisted:
+            fr.unpersist()
+        self._persisted.clear()
 
     # ------------------------------------------------------------------ api
     def evaluate(
@@ -87,6 +105,10 @@ class SuiteEvaluator:
         snapshot_id: int = 0,
         with_violations: bool = True,
     ) -> tuple[DataFrame, DataFrame]:
+        if not self.suite.constraints:
+            raise ValueError(
+                f"suite {self.suite.name!r} declares no constraints"
+            )
         part = self._partition_id_col(df)
         df = df.withColumn("_pid", part)
 
@@ -97,9 +119,11 @@ class SuiteEvaluator:
             self._row_check(c) for c in self.suite.constraints
             if c.kind in ROW_LEVEL_KINDS and self._fusable(c)
         ]
-        if row_checks:
-            results.append(self._row_agg(df, row_checks))
-            if with_violations:
+        stats_cs = [c for c in self.suite.constraints if c.kind == "column_stats"]
+        quant_cs = [c for c in self.suite.constraints if c.kind == "quantiles"]
+        if row_checks or stats_cs or quant_cs:
+            results.append(self._fused_agg(df, row_checks, stats_cs, quant_cs))
+            if with_violations and row_checks:
                 violations.append(self._row_violations(df, row_checks))
 
         for c in self.suite.constraints:
@@ -113,10 +137,6 @@ class SuiteEvaluator:
                 results.append(r)
                 if with_violations:
                     violations.append(v)
-            elif c.kind == "column_stats":
-                results.append(self._column_stats(df, c))
-            elif c.kind == "quantiles":
-                results.append(self._quantiles(df, c))
             elif c.kind == "text_equality":
                 if ref_df is None:
                     continue
@@ -228,35 +248,86 @@ class SuiteEvaluator:
     def _sval(col: F.Column) -> F.Column:
         return F.substring(col.cast("string"), 1, _VALUE_TRUNC)
 
-    def _row_agg(self, df: DataFrame, checks: list[_RowCheck]) -> DataFrame:
-        aggs = [F.count(F.lit(1)).alias("__rows")]
+    def _fused_agg(
+        self,
+        df: DataFrame,
+        checks: list[_RowCheck],
+        stats_cs: list[Constraint],
+        quant_cs: list[Constraint],
+    ) -> DataFrame:
+        """ONE groupBy(partition) computing every per-partition aggregate:
+        row-level violation counts, column-stat profiles, and approx
+        quantile sketches. A single scan + a single (tiny) shuffle of
+        partial aggregates regardless of how many constraints the suite
+        declares — the A3 combiner pattern applied suite-wide."""
+        aggs: list[F.Column] = [F.count(F.lit(1)).alias("__rows")]
         for i, rc in enumerate(checks):
             aggs.append(F.sum(rc.pred.cast("long")).alias(f"__v{i}"))
-        base = df.groupBy("_pid").agg(*aggs)
-        entries = F.array(*[
-            F.struct(
-                F.lit(rc.constraint.constraint_id).alias("constraint_id"),
-                F.col(f"__v{i}").alias("violation_count"),
-                F.lit(rc.threshold).cast("double").alias("threshold"),
+        stat_names = ("null_rate", "min", "max", "mean", "approx_distinct")
+        for j, c in enumerate(stats_cs):
+            expr = F.expr(c.params["col"])
+            aggs += [
+                (F.sum(expr.isNull().cast("long")) / F.count(F.lit(1)))
+                .alias(f"__s{j}_null_rate"),
+                F.min(expr).cast("double").alias(f"__s{j}_min"),
+                F.max(expr).cast("double").alias(f"__s{j}_max"),
+                F.avg(expr).cast("double").alias(f"__s{j}_mean"),
+                F.approx_count_distinct(expr).cast("double")
+                .alias(f"__s{j}_approx_distinct"),
+            ]
+        for k, c in enumerate(quant_cs):
+            expr = F.expr(c.params["col"])
+            aggs.append(
+                F.percentile_approx(expr, c.params["qs"],
+                                    c.params.get("accuracy", 2500))
+                .alias(f"__q{k}")
             )
-            for i, rc in enumerate(checks)
-        ])
-        out = (
+        base = df.groupBy("_pid").agg(*aggs)
+
+        null_d = F.lit(None).cast("double")
+        entries: list[F.Column] = []
+        for i, rc in enumerate(checks):
+            entries.append(F.struct(
+                F.lit(rc.constraint.constraint_id).alias("cid"),
+                F.col(f"__v{i}").cast("long").alias("viol"),
+                (F.col(f"__v{i}") / F.col("__rows")).cast("double").alias("obs"),
+                F.lit(rc.threshold).cast("double").alias("thr"),
+            ))
+        for j, c in enumerate(stats_cs):
+            for stat in stat_names:
+                entries.append(F.struct(
+                    F.lit(f"{c.constraint_id}#{stat}").alias("cid"),
+                    F.lit(0).cast("long").alias("viol"),
+                    F.col(f"__s{j}_{stat}").cast("double").alias("obs"),
+                    null_d.alias("thr"),
+                ))
+        for k, c in enumerate(quant_cs):
+            for qi, q in enumerate(c.params["qs"]):
+                entries.append(F.struct(
+                    F.lit(f"{c.constraint_id}#p{int(q * 100)}").alias("cid"),
+                    F.lit(0).cast("long").alias("viol"),
+                    F.element_at(F.col(f"__q{k}"), qi + 1).cast("double")
+                    .alias("obs"),
+                    null_d.alias("thr"),
+                ))
+        return (
             base.select(F.col("_pid").alias("partition_id"),
                         F.col("__rows").alias("rows_checked"),
-                        F.explode(entries).alias("e"))
+                        F.explode(F.array(*entries)).alias("e"))
             .select(
                 "partition_id",
-                F.col("e.constraint_id").alias("constraint_id"),
-                (F.col("e.violation_count") / F.col("rows_checked"))
-                .cast("double").alias("observed"),
-                F.col("e.threshold").alias("threshold"),
+                F.col("e.cid").alias("constraint_id"),
+                F.col("e.obs").alias("observed"),
+                F.col("e.thr").alias("threshold"),
                 "rows_checked",
-                F.col("e.violation_count").alias("violation_count"),
+                F.col("e.viol").alias("violation_count"),
             )
-            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+            .withColumn(
+                "passed",
+                F.when(F.col("threshold").isNull(), F.lit(True))
+                .otherwise(F.col("observed") <= F.col("threshold")),
+            )
         )
-        return out
 
     def _row_violations(self, df: DataFrame, checks: list[_RowCheck]) -> DataFrame:
         any_pred = checks[0].pred
@@ -349,7 +420,7 @@ class SuiteEvaluator:
             stage1.groupBy("_pid", *keys)
             .agg(F.sum("_partial").alias("dup_count"))
         )
-        dups = counts.where(F.col("dup_count") > 1)
+        dups = self._share(counts.where(F.col("dup_count") > 1))
 
         totals = df.groupBy("_pid").agg(F.count(F.lit(1)).alias("rows_checked"))
         agg = dups.groupBy("_pid").agg(
@@ -383,81 +454,46 @@ class SuiteEvaluator:
         )
         return res, vio
 
-    # -- stats / quantiles ----------------------------------------------------
-    def _column_stats(self, df: DataFrame, c: Constraint) -> DataFrame:
-        expr = F.expr(c.params["col"])
-        base = df.groupBy("_pid").agg(
-            F.count(F.lit(1)).alias("rows_checked"),
-            (F.sum(expr.isNull().cast("long")) / F.count(F.lit(1)))
-            .alias("null_rate"),
-            F.min(expr).cast("double").alias("min"),
-            F.max(expr).cast("double").alias("max"),
-            F.avg(expr).cast("double").alias("mean"),
-            F.approx_count_distinct(expr).cast("double").alias("approx_distinct"),
-        )
-        stats = ["null_rate", "min", "max", "mean", "approx_distinct"]
-        entries = F.array(*[
-            F.struct(F.lit(s).alias("stat"),
-                     F.col(s).cast("double").alias("observed"))
-            for s in stats
-        ])
-        return (
-            base.select(F.col("_pid").alias("partition_id"),
-                        "rows_checked", F.explode(entries).alias("e"))
-            .select(
-                "partition_id",
-                F.concat(F.lit(c.constraint_id + "#"), F.col("e.stat"))
-                .alias("constraint_id"),
-                F.col("e.observed").alias("observed"),
-                F.lit(None).cast("double").alias("threshold"),
-                "rows_checked",
-                F.lit(0).cast("long").alias("violation_count"),
-            )
-            .withColumn("passed", F.lit(True))
-        )
-
-    def _quantiles(self, df: DataFrame, c: Constraint) -> DataFrame:
-        expr = F.expr(c.params["col"])
-        qs = c.params["qs"]
-        acc = c.params.get("accuracy", 10000)
-        base = df.groupBy("_pid").agg(
-            F.count(F.lit(1)).alias("rows_checked"),
-            F.percentile_approx(expr, qs, acc).alias("qv"),
-        )
-        entries = F.array(*[
-            F.struct(F.lit(f"p{int(q * 100)}").alias("q"),
-                     F.element_at("qv", i + 1).cast("double").alias("observed"))
-            for i, q in enumerate(qs)
-        ])
-        return (
-            base.select(F.col("_pid").alias("partition_id"),
-                        "rows_checked", F.explode(entries).alias("e"))
-            .select(
-                "partition_id",
-                F.concat(F.lit(c.constraint_id + "#"), F.col("e.q"))
-                .alias("constraint_id"),
-                F.col("e.observed").alias("observed"),
-                F.lit(None).cast("double").alias("threshold"),
-                "rows_checked",
-                F.lit(0).cast("long").alias("violation_count"),
-            )
-            .withColumn("passed", F.lit(True))
-        )
-
     # -- text equality vs reference snapshot ----------------------------------
-    def _stable_dedup(self, df: DataFrame, col: str) -> DataFrame:
-        """Stable turn ordering + last-wins dedup (W1 + W3): one row per
-        (conv_id, turn_idx), the winner chosen by (ts desc, text-hash)
-        so the result is a total order — parallelism-invariant even with
-        tied timestamps (risk register, SURVEY.md §7.4)."""
+    def _stable_winner(
+        self, df: DataFrame, col: str, norm_opts: dict, out_prefix: str,
+        keep_value: bool = False,
+    ) -> DataFrame:
+        """Stable turn ordering + last-wins dedup (W1 + W3) as a single
+        hash aggregation: ``max_by(payload, (ts, -text_hash))`` picks one
+        row per (conv_id, turn_idx) under the total order (ts desc,
+        text-hash asc) — parallelism-invariant even with tied timestamps
+        (risk register, SURVEY.md §7.4). A hash-agg partial-aggregates
+        map-side and shuffles only (key, winner) pairs — far cheaper at
+        scale than a sort window over full rows."""
         keys = list(self.suite.key_cols)
-        w = W.partitionBy(*keys).orderBy(
-            F.col("ts").desc_nulls_last(), F.xxhash64(F.col(col)).asc()
+        # nulls-last ts ordering: null ts -> epoch 0, always loses
+        ord_key = F.struct(
+            F.coalesce(F.col("ts").cast("timestamp").cast("long"), F.lit(0))
+            .alias("ts_o"),
+            # bitwise NOT reverses the order without the -Long.MIN overflow
+            F.xxhash64(F.col(col)).bitwiseXOR(F.lit(-1)).alias("h_o"),
         )
+        # ship a 64-bit hash of the normalized text, not the text: the
+        # equality join is the suite's only wide shuffle, and hashing
+        # cuts its volume ~50x at transcript-scale text lengths. Null
+        # norm stays null (xxhash64 would map it to the seed). False
+        # match probability is 2^-64 per compared pair — the standard
+        # content-equality tradeoff at 10^12-row scale.
+        norm = normalize_text(F.col(col), **norm_opts)
+        norm_h = F.when(norm.isNull(), F.lit(None).cast("long")) \
+            .otherwise(F.xxhash64(norm))
+        payload_fields = [
+            norm_h.alias(f"{out_prefix}norm"),
+            F.col("_pid").alias(f"{out_prefix}pid"),
+        ]
+        if keep_value:
+            payload_fields.append(self._sval(F.col(col)).alias(f"{out_prefix}val"))
+        payload = F.struct(*payload_fields)
         return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+            df.groupBy(*keys)
+            .agg(F.max_by(payload, ord_key).alias("__w"))
+            .select(*keys, "__w.*")
         )
 
     def _text_equality(
@@ -472,15 +508,12 @@ class SuiteEvaluator:
         )
 
         ref = ref_df.withColumn("_pid", self._partition_id_col(ref_df))
-        cur_d = self._stable_dedup(df, col).select(
-            *keys, F.col("_pid").alias("_pid_cur"),
-            normalize_text(F.col(col), **norm_opts).alias("_cur_norm"),
-            self._sval(F.col(col)).alias("_cur_val"),
-        )
-        ref_d = self._stable_dedup(ref, col).select(
-            *keys, F.col("_pid").alias("_pid_ref"),
-            normalize_text(F.col(col), **norm_opts).alias("_ref_norm"),
-        )
+        cur_d = self._stable_winner(df, col, norm_opts, "_cur_", keep_value=True) \
+            .withColumnRenamed("_cur_pid", "_pid_cur") \
+            .withColumnRenamed("_cur_norm", "_cur_norm") \
+            .withColumnRenamed("_cur_val", "_cur_val")
+        ref_d = self._stable_winner(ref, col, norm_opts, "_ref_") \
+            .withColumnRenamed("_ref_pid", "_pid_ref")
         joined = cur_d.join(ref_d, on=keys, how="full_outer").withColumn(
             "_pid", F.coalesce("_pid_cur", "_pid_ref")
         )
@@ -490,7 +523,9 @@ class SuiteEvaluator:
             .when(F.col("_cur_norm").eqNullSafe(F.col("_ref_norm")), F.lit("match"))
             .otherwise(F.lit("mismatch"))
         )
-        classified = joined.withColumn("_status", status)
+        # persisted: both the per-partition agg and the violation rows read
+        # this; without it the dedup+join pipeline runs twice
+        classified = self._share(joined.withColumn("_status", status))
 
         res = (
             classified.groupBy("_pid").agg(

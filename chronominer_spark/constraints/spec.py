@@ -114,7 +114,7 @@ def column_stats(col: str) -> Constraint:
     return Constraint(f"stats:{col}", "column_stats", {"col": col})
 
 
-def quantiles(col: str, qs: list[float] | None = None, accuracy: int = 10000) -> Constraint:
+def quantiles(col: str, qs: list[float] | None = None, accuracy: int = 2500) -> Constraint:
     return Constraint(
         f"quantiles:{col}", "quantiles",
         {"col": col, "qs": qs or [0.5, 0.9, 0.99], "accuracy": accuracy},

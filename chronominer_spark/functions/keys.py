@@ -44,7 +44,11 @@ def dataset_fingerprint(df: DataFrame) -> str:
     per-row xxhash64 over all columns (mod 2^64). Parallelism-invariant,
     single pass, no sort — usable on tables too large to order."""
     row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    # sum in decimal(38,0): a long sum of 64-bit hashes overflows under
+    # ANSI mode (default in Spark 4)
     agg = df.select(
-        F.sum(row_hash).alias("s"), F.count(F.lit(1)).alias("n")
+        F.sum(row_hash.cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return f"{(agg['s'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{agg['n']}"
+    total = int(agg["s"] or 0) & 0xFFFFFFFFFFFFFFFF
+    return f"{total:016x}-{agg['n']}"

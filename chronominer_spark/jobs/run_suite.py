@@ -54,10 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.synthetic:
         cfg = TranscriptGenConfig(n_turns=args.synthetic,
                                   n_convs=max(200, args.synthetic // 200))
-        # cache: the suite makes several passes; without this every scan
-        # would re-run the generator (incl. its row_number shuffle)
-        df = generate_transcripts(spark, cfg).cache()
-        ref = generate_reference_snapshot(spark, cfg).cache()
+        # MEMORY_AND_DISK: the suite makes several passes; plain cache()
+        # re-runs the generator (incl. its row_number shuffle) on every
+        # scan once execution memory evicts it
+        from pyspark import StorageLevel
+        df = generate_transcripts(spark, cfg) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        ref = generate_reference_snapshot(spark, cfg) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
     else:
         if not args.table:
             ap.error("--table or --synthetic required")

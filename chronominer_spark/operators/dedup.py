@@ -57,8 +57,14 @@ def exact_dedup(
 
 
 def word_shingles(text_col, k: int = 3) -> F.Column:
-    """Distinct word k-shingles of the normalized text (array<string>)."""
-    words = F.split(normalize_text(text_col), r"\s+")
+    """Distinct word k-shingles of the normalized text (array<string>).
+
+    Tokenization is a single regex split on ``\\s+`` over
+    lower(trim(text)) — equivalent to collapsing whitespace first but
+    one regex pass instead of two (this is the hot path of the dedup
+    family)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+")
     n = F.size(words)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
@@ -69,27 +75,46 @@ def word_shingles(text_col, k: int = 3) -> F.Column:
     )
 
 
+MINHASH_PRIME = 1_000_000_007
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 3, num_hashes: int = 16,
 ) -> DataFrame:
-    """Per-document MinHash signature: ``sig[i] = min over shingles of
-    md5('<i>:' || shingle)``. Lexicographic order over md5 hex is a
-    uniform permutation, and md5 is identical across engines, so the
-    signature doubles as a cross-engine golden value. One row per doc:
-    (id, sig array<string>)."""
+    """Per-document MinHash signature via Kirsch–Mitzenmacher double
+    hashing: each shingle is md5'd ONCE, split into two 60-bit halves
+    (h1, h2), and the i-th permutation is ``(h1 + i·h2) mod p`` —
+    ``sig[i] = min`` over shingles. One md5 per shingle instead of
+    ``num_hashes`` md5s (16× less hashing on the hot path) while staying
+    engine-portable: DuckDB reproduces it with
+    ``('0x' || substr(md5(s), ...))::UBIGINT`` (see the q18 oracle).
+    One row per doc: (id, sig array<long>)."""
     sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
 
-    def mh(i: int) -> F.Column:
-        # closure factory — a `lambda s, i=i:` default arg would make
-        # PySpark treat this as an (element, index) binary lambda
-        prefix = f"{i}:"
-        return F.array_min(
-            F.transform("__sh", lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    def base_hashes(s: F.Column) -> F.Column:
+        d = F.md5(s)
+        return F.struct(
+            F.pmod(F.conv(F.substring(d, 1, 15), 16, 10).cast("long"),
+                   F.lit(MINHASH_PRIME)).alias("h1"),
+            F.pmod(F.conv(F.substring(d, 17, 15), 16, 10).cast("long"),
+                   F.lit(MINHASH_PRIME)).alias("h2"),
         )
 
-    sig_cols = [mh(i).alias(f"mh{i}") for i in range(num_hashes)]
-    out = sh.select(F.col(id_col), *sig_cols)
+    # md5 once per shingle (its own transform), then each permutation is
+    # add/multiply over the precomputed (h1, h2) pairs
+    hashed = sh.select(
+        F.col(id_col), F.transform("__sh", base_hashes).alias("__hh")
+    )
+
+    def perm(i: int) -> F.Column:
+        return F.array_min(F.transform(
+            "__hh",
+            lambda p: F.pmod(p["h1"] + i * p["h2"], F.lit(MINHASH_PRIME)),
+        ))
+
+    sig_cols = [perm(i).alias(f"mh{i}") for i in range(num_hashes)]
+    out = hashed.select(F.col(id_col), *sig_cols)
     return out.select(
         F.col(id_col),
         F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature"),
@@ -114,8 +139,11 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(F.array_join(F.slice("signature", b * r + 1, r), ","))
-                    .alias("bucket"),
+                    F.md5(F.array_join(
+                        F.transform(F.slice("signature", b * r + 1, r),
+                                    lambda x: x.cast("string")),
+                        ",",
+                    )).alias("bucket"),
                 ),
             )
         ).alias("bb"),
@@ -138,9 +166,26 @@ def ngram_jaccard_pairs(
     candidate (id_a, id_b) pairs — the verify step after LSH. Computed
     set-algebraically: |A∩B| via an exploded shingle equi-join restricted
     to candidate pairs, |A∪B| = |A|+|B|−|A∩B|."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("__sh")
-    ).withColumn("__n", F.size("__sh"))
+    # the candidate list is referenced by three plan branches
+    # (participating ids, intersection counts, final assembly); persist
+    # it so the upstream LSH pipeline runs once — it is small by
+    # construction (pairs, not rows)
+    from pyspark import StorageLevel
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # shingle only the docs that participate in a candidate pair — after
+    # LSH the candidate set is typically a small fraction of the corpus
+    participating = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(participating, on="id", how="left_semi")
+        .select("id", word_shingles(text_col, k).alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
+    )
     sizes = sh.select("id", "__n")
     exploded = sh.select("id", F.explode("__sh").alias("shingle"))
 

@@ -1,0 +1,113 @@
+"""Range repair and chunk-slicing operators (W4/W5/W8, L1, P11).
+
+Re-expresses the line-range readjuster's window mechanics and the
+chunk-slice semantics:
+
+- :func:`sanitize_ranges`   P11 drop ``start < 1 or end < start`` with a
+  violation record (``/root/reference/modules/infra/chunking.py:352-363``)
+- :func:`trim_overlaps`     W4 predecessor-overlap removal via ``lag``
+  (``modules/line_ranges/readjuster.py:1642-1747``): when the previous
+  range's end reaches into the current one, the current start shifts
+  past it (stable order by (start, original index))
+- :func:`enforce_max_gap`   W5 extend a range toward its successor when
+  the gap exceeds a maximum (``readjuster.py:1749-1804``)
+- :func:`slice_chunks`      L1 first_n / last_n / index-range slicing
+  under ABSOLUTE 1-based indices that survive slicing
+  (``modules/infra/chunking.py:376-489``): indices are computed once
+  over the full table; filters never renumber (W6)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def sanitize_ranges(
+    df: DataFrame, start: str = "start", end: str = "end"
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (valid, rejected): a range is valid iff start ≥ 1 and
+    end ≥ start."""
+    ok = (F.col(start) >= 1) & (F.col(end) >= F.col(start))
+    return df.where(ok), df.where(~ok | F.col(start).isNull() | F.col(end).isNull())
+
+
+def trim_overlaps(
+    df: DataFrame, key: str, start: str = "start", end: str = "end",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Shift each range's start past its predecessor's end (per key,
+    stable order by (start, order_col)). One lag pass resolves chains
+    because the shifted start never moves left: after the shift,
+    ``start' = max(start, prev_end + 1)`` where prev_end is the raw
+    predecessor end — matching the reference's per-document sequential
+    trim for non-degenerate inputs; fully-contained ranges degenerate to
+    empty (start' > end) and are dropped with ``dropped=true`` semantics
+    available via :func:`sanitize_ranges` on the output."""
+    order = [F.col(start).asc()]
+    if order_col:
+        order.append(F.col(order_col).asc())
+    w = W.partitionBy(key).orderBy(*order)
+    # running max of predecessor ends handles a long range swallowing
+    # several successors (its end outlives the immediate predecessor)
+    prev_end = F.max(F.col(end)).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "_new_start",
+            F.when(prev_end.isNull(), F.col(start))
+            .otherwise(F.greatest(F.col(start), prev_end + 1)),
+        )
+        .withColumn(start, F.col("_new_start"))
+        .drop("_new_start")
+    )
+
+
+def enforce_max_gap(
+    df: DataFrame, key: str, start: str = "start", end: str = "end",
+    max_gap: int = 1, order_col: str | None = None,
+) -> DataFrame:
+    """Extend each range's end toward the successor when the gap
+    exceeds ``max_gap`` (W5): ``end' = next_start - 1`` for oversized
+    gaps, clamped to never shrink (W8 monotone clamp)."""
+    order = [F.col(start).asc()]
+    if order_col:
+        order.append(F.col(order_col).asc())
+    w = W.partitionBy(key).orderBy(*order)
+    next_start = F.lead(F.col(start)).over(w)
+    gap = next_start - F.col(end) - 1
+    new_end = F.when(
+        next_start.isNotNull() & (gap > max_gap), next_start - 1
+    ).otherwise(F.col(end))
+    return df.withColumn(end, F.greatest(new_end, F.col(end)))
+
+
+def slice_chunks(
+    df: DataFrame, key: str, idx: str,
+    first_n: int | None = None,
+    last_n: int | None = None,
+    index_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Mutually exclusive slicing on ABSOLUTE 1-based indices per key.
+
+    ``idx`` must already be the absolute index (computed once over the
+    full table); this filter never renumbers, so downstream keys built
+    from the index stay stable across slices. Over-requesting (first_n
+    larger than the group) degrades to all rows — mirroring the
+    reference's fallback-with-warning."""
+    modes = sum(x is not None for x in (first_n, last_n, index_range))
+    if modes != 1:
+        raise ValueError("exactly one of first_n / last_n / index_range required")
+    if first_n is not None:
+        return df.where(F.col(idx) <= first_n)
+    if index_range is not None:
+        lo, hi = index_range
+        return df.where((F.col(idx) >= lo) & (F.col(idx) <= hi))
+    w = W.partitionBy(key)
+    return (
+        df.withColumn("_max_idx", F.max(F.col(idx)).over(w))
+        .where(F.col(idx) > F.col("_max_idx") - last_n)
+        .drop("_max_idx")
+    )

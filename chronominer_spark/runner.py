@@ -162,6 +162,7 @@ class SuiteRunner:
             self._write(self._stamp(res, run_id), self.results_path)
             if with_violations:
                 self._write(self._stamp(vio, run_id), self.violations_path)
+            self.evaluator.unpersist_all()
             pids = [self._partition_id(p) for p in wave]
             self.manifest.mark_completed(pids, snapshot_id, suite_hash, run_id)
             summary.completed.extend(pids)

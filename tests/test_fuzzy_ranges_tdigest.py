@@ -1,0 +1,143 @@
+"""Tests for fuzzy matching (J1), range repair (W4/W5), chunk slicing
+(L1), t-digest quantiles, and 3-stage JSON extraction (F9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronominer_spark.constraints.tdigest import tdigest_quantiles
+from chronominer_spark.functions.jsonx import extract_json, extract_json_string
+from chronominer_spark.operators.fuzzy import fuzzy_match
+from chronominer_spark.operators.ranges import (
+    enforce_max_gap,
+    sanitize_ranges,
+    slice_chunks,
+    trim_overlaps,
+)
+
+
+def test_fuzzy_match_greedy_one_to_one(spark):
+    gt = spark.createDataFrame(
+        [("c1", 1, "John Smith"), ("c1", 2, "Mary Jones"), ("c1", 3, "unmatchable zz")],
+        "block string, gt_id long, name string",
+    )
+    hyp = spark.createDataFrame(
+        [("c1", 10, "Jon Smith"), ("c1", 11, "mary  jones"), ("c1", 12, "totally different")],
+        "block string, hyp_id long, name string",
+    )
+    m = fuzzy_match(gt, hyp, ["block"], "name", threshold=0.85)
+    got = {(r["gt_id"], r["hyp_id"]) for r in m.collect()}
+    assert (1, 10) in got            # Jon~John above threshold
+    assert (2, 11) in got            # ws+case normalized exact
+    assert all(g != 3 for g, _ in got)
+
+
+def test_fuzzy_match_each_hyp_used_once(spark):
+    gt = spark.createDataFrame(
+        [("b", 1, "alpha beta"), ("b", 2, "alpha beta")],
+        "block string, gt_id long, name string",
+    )
+    hyp = spark.createDataFrame(
+        [("b", 9, "alpha beta")], "block string, hyp_id long, name string"
+    )
+    m = fuzzy_match(gt, hyp, ["block"], "name", threshold=0.85).collect()
+    assert len(m) == 1
+    assert m[0]["gt_id"] == 1  # deterministic tiebreak: lowest gt_id wins
+
+
+def test_sanitize_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 5), (1, 0, 3), (1, 7, 6)], "doc long, start long, end long"
+    )
+    ok, bad = sanitize_ranges(df)
+    assert ok.count() == 1
+    assert bad.count() == 2
+
+
+def test_trim_overlaps(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10), (1, 8, 20), (1, 15, 30)], "doc long, start long, end long"
+    )
+    got = sorted((r["start"], r["end"]) for r in trim_overlaps(df, "doc").collect())
+    assert got == [(1, 10), (11, 20), (21, 30)]
+
+
+def test_trim_overlaps_swallowed_range(spark):
+    # second range fully inside the first -> degenerates (start > end)
+    df = spark.createDataFrame(
+        [(1, 1, 100), (1, 10, 20), (1, 150, 160)], "doc long, start long, end long"
+    )
+    out = trim_overlaps(df, "doc")
+    ok, bad = sanitize_ranges(out)
+    assert sorted((r["start"], r["end"]) for r in ok.collect()) == [(1, 100), (150, 160)]
+    assert bad.count() == 1
+
+
+def test_enforce_max_gap(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10), (1, 20, 30)], "doc long, start long, end long"
+    )
+    got = sorted((r["start"], r["end"]) for r in
+                 enforce_max_gap(df, "doc", max_gap=3).collect())
+    assert got == [(1, 19), (20, 30)]
+
+
+def test_slice_chunks_absolute_indices(spark):
+    df = spark.createDataFrame(
+        [("d", i) for i in range(1, 11)], "doc string, idx long"
+    )
+    assert slice_chunks(df, "doc", "idx", first_n=3).count() == 3
+    last = slice_chunks(df, "doc", "idx", last_n=2)
+    assert sorted(r["idx"] for r in last.collect()) == [9, 10]
+    rng = slice_chunks(df, "doc", "idx", index_range=(4, 6))
+    assert sorted(r["idx"] for r in rng.collect()) == [4, 5, 6]
+    with pytest.raises(ValueError):
+        slice_chunks(df, "doc", "idx", first_n=1, last_n=1)
+    # over-request degrades to all rows
+    assert slice_chunks(df, "doc", "idx", first_n=99).count() == 10
+
+
+def test_tdigest_accuracy_vs_exact(spark, transcripts):
+    got = tdigest_quantiles(
+        transcripts, "pbucket", "length(text)", [0.5, 0.9, 0.99]
+    )
+    exact = transcripts.groupBy("pbucket").agg(
+        F.percentile(F.expr("length(text)"), 0.5).alias("e50"),
+        F.percentile(F.expr("length(text)"), 0.9).alias("e90"),
+    )
+    j = got.where(F.col("q") == 0.5).join(
+        exact, got.part == exact.pbucket.cast("string")
+    )
+    rows = j.collect()
+    assert rows
+    for r in rows:
+        assert abs(r["value"] - r["e50"]) <= max(10.0, 0.05 * r["e50"])
+
+
+def test_tdigest_deterministic_across_partitionings(spark, transcripts):
+    a = tdigest_quantiles(transcripts, "pbucket", "length(text)", [0.5])
+    b = tdigest_quantiles(
+        transcripts.repartition(64), "pbucket", "length(text)", [0.5]
+    )
+    va = {r["part"]: r["value"] for r in a.collect()}
+    vb = {r["part"]: r["value"] for r in b.collect()}
+    # merged digests differ only by centroid grouping; quantiles must
+    # stay within the digest's own error bound across partitionings
+    for k in va:
+        assert abs(va[k] - vb[k]) <= max(5.0, 0.02 * va[k])
+
+
+def test_json_extraction_three_stages(spark):
+    rows = [
+        (1, '{"k": 1}'),                                    # direct
+        (2, 'text before ```json\n{"k": 2}\n``` after'),    # fenced
+        (3, 'noise {"k": 3, "nested": {"x": 1}} trailing'), # balanced scan
+        (4, 'no json here at all'),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, raw string")
+    out = df.select(
+        "id", extract_json("raw", "k int").alias("parsed"),
+        extract_json_string("raw").alias("raw_json"),
+    )
+    got = {r["id"]: (r["parsed"]["k"] if r["parsed"] else None) for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: None, 5: None}

@@ -1,0 +1,63 @@
+"""Parallelism-invariance: per-partition pass/fail + violation rows must
+be identical regardless of input partitioning / shuffle width (the
+sandbox evidence for the north rule's N-vs-4N-executors identity;
+SURVEY.md §5.2 item 5).
+
+Approx sketches (HLL approx_count_distinct, percentile_approx) are
+merge-order dependent in their *observed metric values*, so the identity
+contract covers (partition_id, constraint_id, passed, rows_checked,
+violation_count) for observe-only stats rows and full row identity for
+everything else. bench.py's scaling mode additionally fingerprints
+results across separate local[8]/local[32] sessions.
+"""
+
+from pyspark.sql import functions as F
+
+from chronominer_spark.constraints import SuiteEvaluator
+from chronominer_spark.constraints.spec import default_transcript_suite
+from chronominer_spark.datagen import ROLE_VOCAB, TOOL_VOCAB
+
+STABLE_COLS = ["partition_id", "constraint_id", "snapshot_id", "passed",
+               "rows_checked", "violation_count"]
+APPROX_PREFIXES = ("stats:", "quantiles:")
+
+
+def _evaluate(spark, df, ref, shuffle):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+    try:
+        suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
+        ev = SuiteEvaluator(spark, suite)
+        res, vio = ev.evaluate(df, ref, snapshot_id=3)
+        return res.cache(), vio.cache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_results_invariant_under_repartitioning(spark, transcripts, ref_snapshot):
+    res_a, vio_a = _evaluate(spark, transcripts, ref_snapshot, shuffle=4)
+    res_b, vio_b = _evaluate(
+        spark, transcripts.repartition(64), ref_snapshot.repartition(16), shuffle=32
+    )
+
+    sa = res_a.select(STABLE_COLS)
+    sb = res_b.select(STABLE_COLS)
+    assert sa.exceptAll(sb).count() == 0
+    assert sb.exceptAll(sa).count() == 0
+
+    # exact (non-sketch) constraints must match on observed values too
+    exact_a = res_a.where(~F.col("constraint_id").rlike("^(stats:|quantiles:)")) \
+        .select(*STABLE_COLS, F.round("observed", 9).alias("obs"))
+    exact_b = res_b.where(~F.col("constraint_id").rlike("^(stats:|quantiles:)")) \
+        .select(*STABLE_COLS, F.round("observed", 9).alias("obs"))
+    assert exact_a.exceptAll(exact_b).count() == 0
+    assert exact_b.exceptAll(exact_a).count() == 0
+
+
+def test_violations_invariant_under_repartitioning(spark, transcripts, ref_snapshot):
+    _, vio_a = _evaluate(spark, transcripts, ref_snapshot, shuffle=4)
+    _, vio_b = _evaluate(
+        spark, transcripts.repartition(64), ref_snapshot.repartition(16), shuffle=32
+    )
+    assert vio_a.exceptAll(vio_b).count() == 0
+    assert vio_b.exceptAll(vio_a).count() == 0

@@ -85,3 +85,21 @@ def test_budget_check_admission(spark):
            for r in budget_check(ledger, ["provider"], "total", budgets).collect()}
     assert got["openai"] == (True, 0.0)
     assert got["gemini"] == (False, 900.0)
+
+
+def test_build_custom_id_and_extract_index(spark):
+    from chronominer_spark.functions.keys import build_custom_id, extract_chunk_index
+    df = spark.createDataFrame(
+        [("My Doc (v2)!.txt", 3), ("x" * 200, 12)], "stem string, idx int"
+    )
+    out = df.select(
+        build_custom_id("stem", "idx").alias("cid"),
+    ).withColumn("back", extract_chunk_index("cid"))
+    rows = out.collect()
+    for r in rows:
+        assert len(r["cid"]) <= 64
+        assert r["cid"].endswith(f"-chunk-{r['back']}")
+    assert [r["back"] for r in rows] == [3, 12]
+    bad = spark.createDataFrame([("nochunk-here",)], "cid string") \
+        .select(extract_chunk_index("cid").alias("i")).collect()
+    assert bad[0]["i"] is None
