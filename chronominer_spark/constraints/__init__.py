@@ -14,6 +14,7 @@ from chronominer_spark.constraints.spec import (  # noqa: F401
     cross_field_null,
     drift_ks,
     drift_psi,
+    group_stats,
     in_range,
     matches,
     not_empty,

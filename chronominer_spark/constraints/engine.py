@@ -144,6 +144,11 @@ class SuiteEvaluator:
                 results.append(r)
                 if with_violations:
                     violations.append(v)
+            elif c.kind == "group_stats":
+                r, v = self._group_stats(df, c)
+                results.append(r)
+                if with_violations and v is not None:
+                    violations.append(v)
             elif c.kind in ("drift_psi", "drift_ks"):
                 if ref_df is None:
                     continue
@@ -452,6 +457,92 @@ class SuiteEvaluator:
             self._sval(F.concat_ws("|", *[F.col(k) for k in keys])).alias("value"),
             F.format_string("duplicate_count=%d", F.col("dup_count")).alias("detail"),
         )
+        return res, vio
+
+    # -- per-group (per-conversation) stats -----------------------------------
+    def _group_stats(
+        self, df: DataFrame, c: Constraint
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Per-group size statistics with explicit two-stage salted
+        aggregation — the north rule's skew case: a single hot conv_id
+        must never serialize a stage. Stage 1 counts rows per
+        (group, input-split) so the hot group's rows combine locally;
+        stage 2 merges the per-split partials (one row per group per
+        split — bounded by splits, not by the group's row count);
+        stage 3 reduces group sizes to per-partition stats (tiny).
+
+        Violations: groups whose size exceeds ``max_group_rows``."""
+        p = c.params
+        group_col = p["group_col"]
+        max_rows = p.get("max_group_rows")
+
+        stage1 = (
+            df.groupBy("_pid", group_col, F.spark_partition_id().alias("_salt"))
+            .agg(F.count(F.lit(1)).alias("_partial"))
+        )
+        sizes = stage1.groupBy("_pid", group_col).agg(
+            F.sum("_partial").alias("group_rows")
+        )
+        base = sizes.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("group_rows").cast("double").alias("min"),
+            F.max("group_rows").cast("double").alias("max"),
+            F.avg("group_rows").cast("double").alias("mean"),
+            F.sum("group_rows").alias("rows_checked"),
+            F.sum(
+                ((F.col("group_rows") > max_rows) if max_rows is not None
+                 else F.lit(False)).cast("long")
+            ).alias("violation_count"),
+        )
+        entries = F.array(*[
+            F.struct(F.lit(s).alias("stat"),
+                     F.col(s).cast("double").alias("obs"))
+            for s in ("min", "max", "mean")
+        ] + [
+            F.struct(F.lit("n_groups").alias("stat"),
+                     F.col("n_groups").cast("double").alias("obs")),
+        ])
+        res = (
+            base.select(
+                F.col("_pid").alias("partition_id"),
+                "rows_checked", "violation_count",
+                F.explode(entries).alias("e"),
+            )
+            .select(
+                "partition_id",
+                F.concat(F.lit(c.constraint_id + "#"), F.col("e.stat"))
+                .alias("constraint_id"),
+                F.col("e.obs").alias("observed"),
+                F.lit(float(max_rows) if max_rows is not None else None)
+                .cast("double").alias("threshold"),
+                "rows_checked",
+                F.col("violation_count").cast("long").alias("violation_count"),
+            )
+            .withColumn(
+                "passed",
+                F.when(F.col("threshold").isNull(), F.lit(True))
+                .otherwise(F.col("violation_count") == 0),
+            )
+        )
+        vio = None
+        if max_rows is not None:
+            key_cols = list(self.suite.key_cols)
+            vio = (
+                sizes.where(F.col("group_rows") > max_rows)
+                .select(
+                    F.col("_pid").alias("partition_id"),
+                    F.lit(c.constraint_id).alias("constraint_id"),
+                    *[
+                        (F.col(group_col) if k == group_col else F.lit(None))
+                        .alias(k)
+                        for k in key_cols
+                    ],
+                    F.lit(group_col).alias("column"),
+                    self._sval(F.col(group_col)).alias("value"),
+                    F.format_string("group_rows=%d", F.col("group_rows"))
+                    .alias("detail"),
+                )
+            )
         return res, vio
 
     # -- text equality vs reference snapshot ----------------------------------

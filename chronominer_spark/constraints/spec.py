@@ -108,6 +108,17 @@ def cross_field_null(anchor: str, dependents: list[str], max_rate: float = 0.0) 
     )
 
 
+def group_stats(group_col: str, max_group_rows: int | None = None) -> Constraint:
+    """Per-group (e.g. per-conversation) size profile via explicit
+    two-stage salted aggregation — skew-proof even for a single hot
+    group. ``max_group_rows`` turns it into a hot-group guard with
+    violation rows."""
+    return Constraint(
+        f"gstats:{group_col}", "group_stats",
+        {"group_col": group_col, "max_group_rows": max_group_rows},
+    )
+
+
 def column_stats(col: str) -> Constraint:
     """Observe-only per-partition profile: null-rate, min, max, mean,
     approx-distinct (HLL). Always passes; feeds monitoring."""
@@ -216,6 +227,7 @@ def default_transcript_suite(
             column_stats("turn_idx"),
             column_stats("length(text)"),
             quantiles("length(text)"),
+            group_stats("conv_id"),
             text_equality("text"),
             drift_psi("length(text)", bins=20, lo=0.0, hi=1000.0),
             drift_ks("length(text)", bins=50, lo=0.0, hi=1000.0),

@@ -172,3 +172,85 @@ def embedding_near_dups(
         .select(F.col("query_id").alias("id_a"),
                 F.col("neighbor_id").alias("id_b"), "cosine")
     )
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_centroids: int = 16, n_probe: int = 3,
+    sample_fraction: float = 0.2, seed: int = 42, iters: int = 3,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted file) partitioning.
+
+    Train: k-means centroids on a deterministic corpus sample — the
+    sample is small by construction, so Lloyd iterations run in driver
+    numpy on collected vectors (training is the one deliberately
+    driver-side step; assignment and search stay distributed).
+    Index: each corpus vector is assigned to its nearest centroid
+    (broadcast centroid table, pure expressions).
+    Search: each query probes its ``n_probe`` nearest centroids and
+    ranks exact cosine within those cells — cost ~ corpus/centroids ×
+    n_probe per query instead of the full corpus.
+    """
+    import numpy as np
+
+    sample_rows = (
+        corpus.select(vec_col)
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(20_000)  # hard cap: training set stays driver-sized
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in sample_rows], dtype=float)
+    if len(x) < n_centroids:
+        n_centroids = max(1, len(x))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), n_centroids, replace=False)]
+    for _ in range(iters):
+        # cosine assignment on normalized vectors
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = (xn @ cn.T).argmax(axis=1)
+        for ci in range(n_centroids):
+            members = x[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(axis=0)
+
+    def nearest_cells(vec: F.Column, top: int) -> F.Column:
+        sims = F.array(*[
+            F.struct(
+                dot(F.transform(vec, lambda v: v.cast("double")),
+                    F.array(*[F.lit(float(c)) for c in cent[ci]])).alias("s"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci in range(n_centroids)
+        ])
+        ordered = F.reverse(F.array_sort(sims))
+        return F.slice(ordered, 1, top)
+
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1)["cell"].alias("cell"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            F.transform(nearest_cells(F.col(vec_col), n_probe),
+                        lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    scored = (
+        probed.join(indexed, on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .distinct()
+    )

@@ -789,6 +789,46 @@ def q30_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match(gt, hyp, ["block"], "snippet", threshold=0.85)
 
 
+def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (driver-trained centroids,
+    distributed assignment + probe; rows-only — recall vs brute force
+    asserted in tests)."""
+    from chronominer_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    return ivf_topk(q, emb, k=3, n_centroids=8, n_probe=3,
+                    sample_fraction=1.0)
+
+
+def q32_group_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage per-group aggregation (the skew-proof plan used
+    by the group_stats constraint), profiled per event_type."""
+    e = t(spark, sf_dir, "events")
+    stage1 = (
+        e.groupBy("event_type", "user_id",
+                  F.spark_partition_id().alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = stage1.groupBy("event_type", "user_id").agg(F.sum("c").alias("n"))
+    return sizes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("n").alias("min_events"),
+        F.max("n").alias("max_events"),
+        F.round(F.avg("n"), 4).alias("avg_events"),
+    )
+
+
+_Q32_SQL = """
+SELECT event_type, count(*) AS n_users,
+       min(n) AS min_events, max(n) AS max_events,
+       round(avg(n), 4) AS avg_events
+FROM (SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2)
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -820,6 +860,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_json_extract": q28_json_extract,
     "q29_tdigest_quantiles": q29_tdigest_quantiles,
     "q30_fuzzy_match": q30_fuzzy_match,
+    "q31_ivf_ann": q31_ivf_ann,
+    "q32_group_size_profile": q32_group_size_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -845,6 +887,7 @@ ORACLES: dict[str, str] = {
     "q24_windowed_event_counts": _Q24_SQL,
     "q27_range_repair": _Q27_SQL,
     "q28_json_extract": _Q28_SQL,
+    "q32_group_size_profile": _Q32_SQL,
     # q19/q20/q22/q23/q25/q26/q29/q30: rows-only (non-SQL-expressible,
     # engine-specific hashes, or approximate-by-design); correctness
     # covered by in-repo tests.

@@ -1,0 +1,111 @@
+"""Tests for the scale-discipline features: salted per-group stats,
+plan inspection, stateful streaming EWMA, IVF ANN."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chronominer_spark.constraints import SuiteEvaluator
+from chronominer_spark.constraints.spec import ConstraintSuite, group_stats
+from chronominer_spark.operators.similarity import brute_force_topk, ivf_topk
+from chronominer_spark.plans import (
+    count_exchanges,
+    pushed_filters,
+    scan_columns,
+    uses_broadcast_join,
+)
+
+
+def test_group_stats_matches_plain_groupby(spark, transcripts):
+    suite = ConstraintSuite("g", (group_stats("conv_id"),))
+    res, _ = SuiteEvaluator(spark, suite).evaluate(transcripts)
+    got_max = (
+        res.where(F.col("constraint_id") == "gstats:conv_id#max")
+        .agg(F.max("observed")).collect()[0][0]
+    )
+    oracle_max = (
+        transcripts.groupBy("conv_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert got_max == float(oracle_max)
+    # rows_checked sums back to the table size
+    total = res.where(F.col("constraint_id") == "gstats:conv_id#max") \
+        .agg(F.sum("rows_checked")).collect()[0][0]
+    assert total == transcripts.count()
+
+
+def test_group_stats_hot_group_guard(spark, transcripts):
+    suite = ConstraintSuite("g", (group_stats("conv_id", max_group_rows=200),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(transcripts)
+    oracle_hot = (
+        transcripts.groupBy("conv_id").count().where(F.col("count") > 200).count()
+    )
+    assert oracle_hot > 0  # the Zipf generator plants hot conversations
+    got = vio.where(F.col("constraint_id") == "gstats:conv_id").count()
+    assert got == oracle_hot
+    assert res.where(
+        (F.col("constraint_id") == "gstats:conv_id#max") & ~F.col("passed")
+    ).count() > 0
+
+
+def test_plan_inspection_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .where(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf)
+    cols = scan_columns(df)
+    assert cols and set(cols[0]) <= {"l_orderkey", "l_quantity", "l_shipdate"}
+
+
+def test_plan_inspection_broadcast(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert uses_broadcast_join(j)
+    # broadcast join: no shuffle exchange needed for the join itself
+    assert count_exchanges(j) == 0
+
+
+def test_stateful_ewma_stream_matches_batch(spark, tmp_path):
+    from chronominer_spark.streaming.stateful import ewma_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    # deterministic single file -> single micro-batch
+    events.orderBy("event_id").coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = ewma_stream(spark, src, events.schema, query_name="ewma_t")
+    q.processAllAvailable()
+    q.stop()
+    got = {r["key"]: (r["ewma"], r["n"])
+           for r in spark.sql("SELECT * FROM ewma_t").collect()}
+
+    pdf = events.orderBy("event_id").toPandas()
+    for key, grp in pdf.groupby("event_type"):
+        expect = grp["value"].astype(float).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+        assert got[key][1] == len(grp)
+        assert abs(got[key][0] - expect) < 1e-9
+
+
+def test_ivf_topk_recall(vectors):
+    bf = brute_force_topk(vectors, vectors, k=3)
+    ivf = ivf_topk(vectors, vectors, k=3, n_centroids=3, n_probe=2,
+                   sample_fraction=1.0)
+    hits = ivf.join(bf, ["query_id", "neighbor_id"]).count()
+    assert hits / bf.count() >= 0.9  # clustered vectors: cells align with clusters
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import hashlib
+    rows = []
+    for cluster in range(3):
+        base = [(hashlib.md5(f"{cluster}:{i}".encode()).digest()[0] - 128) / 64.0
+                for i in range(8)]
+        for j in range(4):
+            jit = [(hashlib.md5(f"{cluster}:{j}:{i}".encode()).digest()[1] - 128) / 2048.0
+                   for i in range(8)]
+            rows.append((cluster * 4 + j, [b + e for b, e in zip(base, jit)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
