@@ -110,7 +110,7 @@ def q02_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q02_SQL = """
 SELECT source,
        count(*)                         AS n_docs,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_texts,
        min(n_chars)                     AS min_chars,
        max(n_chars)                     AS max_chars,
        round(avg(n_chars), 2)           AS avg_chars,
@@ -137,9 +137,9 @@ def q03_unique_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q03_SQL = """
-SELECT sum(c)     AS rows_checked,
-       count(*)   AS distinct_keys,
-       sum(c - 1) AS dup_excess
+SELECT sum(c)::BIGINT     AS rows_checked,
+       count(*)           AS distinct_keys,
+       sum(c - 1)::BIGINT AS dup_excess
 FROM (SELECT l_orderkey, l_linenumber, count(*) AS c
       FROM lineitem GROUP BY 1, 2)
 """
@@ -164,7 +164,7 @@ def q04_ri_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q04_SQL = """
 SELECT o_orderpriority,
        count(*) AS rows_checked,
-       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS violation_count
+       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS violation_count
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 GROUP BY o_orderpriority
 """
@@ -287,7 +287,7 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
 )
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 
@@ -334,24 +334,24 @@ WITH h AS (SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
      counts AS (
        SELECT 'event_type' AS field,
               sum(CASE WHEN hid IS NOT NULL AND gid IS NOT NULL
-                        AND het IS NOT DISTINCT FROM get_ THEN 1 ELSE 0 END) AS tp,
+                        AND het IS NOT DISTINCT FROM get_ THEN 1 ELSE 0 END)::BIGINT AS tp,
               sum(CASE WHEN (hid IS NOT NULL AND gid IS NOT NULL
                              AND het IS DISTINCT FROM get_ AND het IS NOT NULL)
-                         OR (gid IS NULL AND het IS NOT NULL) THEN 1 ELSE 0 END) AS fp,
+                         OR (gid IS NULL AND het IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT AS fp,
               sum(CASE WHEN (hid IS NOT NULL AND gid IS NOT NULL
                              AND het IS DISTINCT FROM get_ AND get_ IS NOT NULL)
-                         OR (hid IS NULL AND get_ IS NOT NULL) THEN 1 ELSE 0 END) AS fn
+                         OR (hid IS NULL AND get_ IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT AS fn
        FROM j
        UNION ALL
        SELECT 'value',
               sum(CASE WHEN hid IS NOT NULL AND gid IS NOT NULL
-                        AND hv IS NOT DISTINCT FROM gv THEN 1 ELSE 0 END),
+                        AND hv IS NOT DISTINCT FROM gv THEN 1 ELSE 0 END)::BIGINT,
               sum(CASE WHEN (hid IS NOT NULL AND gid IS NOT NULL
                              AND hv IS DISTINCT FROM gv AND hv IS NOT NULL)
-                         OR (gid IS NULL AND hv IS NOT NULL) THEN 1 ELSE 0 END),
+                         OR (gid IS NULL AND hv IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT,
               sum(CASE WHEN (hid IS NOT NULL AND gid IS NOT NULL
                              AND hv IS DISTINCT FROM gv AND gv IS NOT NULL)
-                         OR (hid IS NULL AND gv IS NOT NULL) THEN 1 ELSE 0 END)
+                         OR (hid IS NULL AND gv IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT
        FROM j)
 SELECT field, tp, fp, fn,
        round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END, 6) AS precision,
@@ -515,7 +515,7 @@ def q16_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q16_SQL = f"""
 SELECT lang,
        sum(len(regexp_extract_all(coalesce(text, ''),
-           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_tokens,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_tokens,
        count(DISTINCT md5({_NORM_SQL.format(col='text')})) AS distinct_norm
 FROM documents GROUP BY lang
 """
@@ -539,7 +539,7 @@ WITH keyed AS (
          count(*) OVER (PARTITION BY ck) AS dup_count
   FROM keyed)
 SELECT source, count(*) AS kept,
-       sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS kept_with_dups
+       sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END)::BIGINT AS kept_with_dups
 FROM ranked WHERE rn = 1 GROUP BY source
 """
 

@@ -8,7 +8,10 @@ Usage: python tools/parity_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
@@ -26,10 +29,23 @@ def frame_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def _norm(v):
+    """Type-sensitive normalization mirroring the driver: an integral
+    float stays '3665.0' (so a DuckDB HUGEINT fetched as float64 through
+    pandas does NOT hash-match a Spark BIGINT 3665)."""
+    if isinstance(v, bool):
+        return str(v)
+    try:
+        import numpy as np
+        if isinstance(v, np.integer):
+            return str(int(v))
+        if isinstance(v, np.floating):
+            v = float(v)
+    except ImportError:
+        pass
     if isinstance(v, float):
         if v != v:
             return "nan"
-        return f"{v:.9g}"
+        return repr(v)
     return str(v)
 
 
@@ -68,9 +84,12 @@ def main() -> int:
                 print(f"WARN  {name}: zero rows")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # fetch through pandas like the driver does: DuckDB HUGEINT
+            # arrives as float64, exposing oracle-type mismatches that
+            # fetchall() (native Python ints) would hide
+            odf = con.execute(ORACLES[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {str(e)[:140]}")
             failures += 1
