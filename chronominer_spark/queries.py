@@ -819,6 +819,58 @@ def q32_group_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_token_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 true semantics: the reference's token-budget chunker
+    (``modules/infra/chunking.py:147-187``) — close a chunk when the
+    running per-line token sum would exceed the budget, absolute
+    1-based line ranges. Lines synthesized deterministically from
+    events (doc = user_id % 20, ordered by event_id)."""
+    from chronominer_spark.operators.chunking import token_budget_chunks
+
+    e = t(spark, sf_dir, "events")
+    lines = (
+        e.select(
+            (F.col("user_id") % 20).cast("long").alias("doc"),
+            F.col("event_id"),
+            ((F.col("event_id") % 13) + 1).cast("long").alias("tok"),
+        )
+        .withColumn(
+            "ln",
+            F.row_number().over(
+                W.partitionBy("doc").orderBy(F.col("event_id").asc())
+            ).cast("long"),
+        )
+    )
+    return token_budget_chunks(lines, "doc", "ln", "tok", budget=50)
+
+
+_Q33_SQL = """
+WITH RECURSIVE lines AS (
+  SELECT (user_id % 20)::BIGINT AS doc,
+         (row_number() OVER (PARTITION BY user_id % 20
+                             ORDER BY event_id ASC))::BIGINT AS ln,
+         ((event_id % 13) + 1)::BIGINT AS tok
+  FROM events
+),
+walk AS (
+  SELECT doc, ln, tok, tok AS cur, 1::BIGINT AS chunk_index
+  FROM lines WHERE ln = 1
+  UNION ALL
+  SELECT l.doc, l.ln, l.tok,
+         CASE WHEN w.cur + l.tok > 50 THEN l.tok ELSE w.cur + l.tok END,
+         CASE WHEN w.cur + l.tok > 50 THEN w.chunk_index + 1
+              ELSE w.chunk_index END
+  FROM walk w JOIN lines l ON l.doc = w.doc AND l.ln = w.ln + 1
+)
+SELECT doc, chunk_index,
+       min(ln)       AS start_line,
+       max(ln)       AS end_line,
+       count(*)      AS n_lines,
+       sum(tok)::BIGINT AS chunk_tokens
+FROM walk GROUP BY doc, chunk_index
+"""
+
+
 _Q32_SQL = """
 SELECT event_type, count(*) AS n_users,
        min(n) AS min_events, max(n) AS max_events,
@@ -862,6 +914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_fuzzy_match": q30_fuzzy_match,
     "q31_ivf_ann": q31_ivf_ann,
     "q32_group_size_profile": q32_group_size_profile,
+    "q33_token_budget_chunks": q33_token_budget_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -888,6 +941,7 @@ ORACLES: dict[str, str] = {
     "q27_range_repair": _Q27_SQL,
     "q28_json_extract": _Q28_SQL,
     "q32_group_size_profile": _Q32_SQL,
+    "q33_token_budget_chunks": _Q33_SQL,
     # q19/q20/q22/q23/q25/q26/q29/q30: rows-only (non-SQL-expressible,
     # engine-specific hashes, or approximate-by-design); correctness
     # covered by in-repo tests.
