@@ -26,11 +26,15 @@ needs.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from chronominer_spark.functions.text import normalize_text
+
+logger = logging.getLogger(__name__)
 
 
 def content_key(text_col, normalize: bool = True) -> F.Column:
@@ -75,12 +79,24 @@ def word_shingles(text_col, k: int = 3) -> F.Column:
     )
 
 
+def shingle_docs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """One row per doc: (id_col, ``shingles`` array<string>). Compute
+    once and feed both :func:`minhash_signatures` and
+    :func:`ngram_jaccard_pairs` (via their ``shingles_df`` parameter) —
+    shingling is the hot path of the dedup family and must not run
+    twice per pipeline."""
+    return df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+
+
 MINHASH_PRIME = 1_000_000_007
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 3, num_hashes: int = 16,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature via Kirsch–Mitzenmacher double
     hashing: each shingle is md5'd ONCE, split into two 60-bit halves
@@ -89,8 +105,14 @@ def minhash_signatures(
     ``num_hashes`` md5s (16× less hashing on the hot path) while staying
     engine-portable: DuckDB reproduces it with
     ``('0x' || substr(md5(s), ...))::UBIGINT`` (see the q18 oracle).
-    One row per doc: (id, sig array<long>)."""
-    sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
+    One row per doc: (id, sig array<long>).
+
+    Pass ``shingles_df`` (from :func:`shingle_docs`) to reuse an
+    already-computed (ideally persisted) shingle frame."""
+    if shingles_df is not None:
+        sh = shingles_df.select(F.col(id_col), F.col("shingles").alias("__sh"))
+    else:
+        sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
 
     def base_hashes(s: F.Column) -> F.Column:
         d = F.md5(s)
@@ -122,16 +144,44 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 4
+    signatures: DataFrame, id_col: str, bands: int = 4,
+    num_hashes: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands, hash each
     band, self-join docs sharing any band bucket. Returns distinct
     (id_a, id_b) with id_a < id_b. Shuffle volume = docs × bands rows of
-    (bucket, id) — linear, never the cross product."""
-    num_hashes = None  # derived from data below via slice on band index
+    (bucket, id) — linear, never the cross product.
+
+    ``num_hashes`` (when known) is validated to be divisible by
+    ``bands`` — otherwise trailing signature entries would silently be
+    excluded from banding; the same check runs row-level in the plan so
+    a mismatched signature fails loudly instead of losing recall.
+
+    ``max_bucket_size`` is the hot-bucket guard: one degenerate bucket
+    (e.g. thousands of empty/boilerplate docs) would reintroduce O(B²)
+    pairs in the self-join. Buckets above the cap are EXCLUDED from
+    candidate generation and the drop is logged with bucket counts —
+    never a silent cap. Docs in a dropped bucket can still pair through
+    their other bands. Pass ``None`` to disable (exact small-scale
+    runs)."""
+    if num_hashes is not None and num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}: "
+            "trailing signature entries would be excluded from banding"
+        )
     sig = signatures.select(F.col(id_col).alias("id"), "signature")
     n = F.size("signature")
     r = (n / bands).cast("int")
+    # row-level guard woven into the bucket value (so Catalyst cannot
+    # prune it): a signature whose length is not divisible by bands
+    # fails the job instead of silently shrinking each band
+    guard = F.when(n % bands == 0, F.lit("")).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"signature length not divisible by bands={bands}: "),
+            n.cast("string"),
+        ))
+    )
     banded = sig.select(
         "id",
         F.explode(
@@ -139,15 +189,44 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(F.array_join(
-                        F.transform(F.slice("signature", b * r + 1, r),
-                                    lambda x: x.cast("string")),
-                        ",",
-                    )).alias("bucket"),
+                    F.concat(
+                        F.md5(F.array_join(
+                            F.transform(F.slice("signature", b * r + 1, r),
+                                        lambda x: x.cast("string")),
+                            ",",
+                        )),
+                        guard,
+                    ).alias("bucket"),
                 ),
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+    if max_bucket_size is not None:
+        from pyspark import StorageLevel
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        dropped = (
+            sizes.where(F.col("__bsz") > max_bucket_size)
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum("__bsz").alias("n_rows"))
+            .collect()[0]
+        )
+        if dropped["n_buckets"]:
+            logger.warning(
+                "lsh_candidate_pairs: dropping %d hot bucket(s) covering %d "
+                "doc-band rows (> max_bucket_size=%d); docs may still pair "
+                "via other bands",
+                dropped["n_buckets"], dropped["n_rows"], max_bucket_size,
+            )
+        banded = banded.join(
+            sizes.where(F.col("__bsz") <= max_bucket_size)
+            .select("band", "bucket"),
+            on=["band", "bucket"], how="left_semi",
+        )
+
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -161,11 +240,17 @@ def lsh_candidate_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
     pairs: DataFrame, k: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity on word k-shingle sets for the given
     candidate (id_a, id_b) pairs — the verify step after LSH. Computed
     set-algebraically: |A∩B| via an exploded shingle equi-join restricted
-    to candidate pairs, |A∪B| = |A|+|B|−|A∩B|."""
+    to candidate pairs, |A∪B| = |A|+|B|−|A∩B|.
+
+    Pass ``shingles_df`` (from :func:`shingle_docs`, ideally persisted)
+    when the pipeline already shingled the corpus for MinHash — the
+    corpus is then shingled once for the whole signature→band→verify
+    pipeline instead of twice."""
     # the candidate list is referenced by three plan branches
     # (participating ids, intersection counts, final assembly); persist
     # it so the upstream LSH pipeline runs once — it is small by
@@ -173,21 +258,35 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # shingle only the docs that participate in a candidate pair — after
+    # restrict to docs that participate in a candidate pair — after
     # LSH the candidate set is typically a small fraction of the corpus
     participating = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
-        .join(participating, on="id", how="left_semi")
-        .select("id", word_shingles(text_col, k).alias("__sh"))
-        .withColumn("__n", F.size("__sh"))
-    )
+    if shingles_df is not None:
+        sh = (
+            shingles_df.select(F.col(id_col).alias("id"),
+                               F.col("shingles").alias("__sh"))
+            .join(participating, on="id", how="left_semi")
+            .withColumn("__n", F.size("__sh"))
+        )
+    else:
+        sh = (
+            df.select(F.col(id_col).alias("id"), F.col(text_col))
+            .join(participating, on="id", how="left_semi")
+            .select("id", word_shingles(text_col, k).alias("__sh"))
+            .withColumn("__n", F.size("__sh"))
+        )
     sizes = sh.select("id", "__n")
-    exploded = sh.select("id", F.explode("__sh").alias("shingle"))
+    # ship 64-bit shingle hashes through the intersection join instead of
+    # the shingle strings: same distinct counts w.h.p., ~3× less shuffle
+    # bytes on a real corpus
+    exploded = sh.select(
+        "id",
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("shingle"),
+    )
 
     ea = exploded.select(F.col("id").alias("id_a"), "shingle")
     eb = exploded.select(F.col("id").alias("id_b"), "shingle")
@@ -211,14 +310,28 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """Per-document SimHash: hash every word with xxhash64, take the
-    per-bit majority vote over the word multiset. All JVM bit ops —
-    explode + conditional sums, no Python. Adds ``simhash`` (long)."""
+    """Per-document SimHash: hash every word, take the per-bit majority
+    vote over the word multiset. All JVM bit ops — explode +
+    conditional sums, no Python. Adds ``simhash`` (long).
+
+    ``portable=True`` switches the word hash from xxhash64 to the
+    md5-derived 60-bit scheme MinHash uses (``('0x'||substr(md5(w),1,15))``
+    in DuckDB), making the sketch bit-identical across engines so the
+    driver oracle can verify it; requires ``bits <= 60``."""
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits (md5 prefix)")
     words = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), r"\s+")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    )
+    if portable:
+        words = words.withColumn(
+            "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        words = words.withColumn("h", F.xxhash64("w"))
     bit_sums = words.groupBy(id_col).agg(*[
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)

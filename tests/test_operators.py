@@ -221,3 +221,77 @@ def test_language_id_markers(spark):
     )
     got = {r["id"]: r["lang_pred"] for r in language_id(df).collect()}
     assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+
+def test_lsh_bands_divisibility_validated(docs):
+    d = docs.where(F.col("text").isNotNull())
+    sigs = minhash_signatures(d, "doc_id", "text", k=3, num_hashes=16)
+    # python-side validation when num_hashes is declared
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(sigs, "doc_id", bands=5, num_hashes=16)
+    # row-level guard when it is not declared: the job fails loudly
+    # instead of silently excluding trailing signature entries
+    with pytest.raises(Exception, match="not divisible"):
+        lsh_candidate_pairs(sigs, "doc_id", bands=5).collect()
+
+
+def test_lsh_hot_bucket_guard_bounds_candidates(spark):
+    # 1000 identical docs -> every band bucket is degenerate; without the
+    # guard the self-join yields ~500k pairs, with it zero survive (and
+    # the distinct unrelated doc never pairs with anything)
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(1000)]
+    rows.append((5000, "entirely different content about spark plans"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(d, "doc_id", "text", k=3, num_hashes=8)
+    guarded = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8,
+                                  max_bucket_size=100)
+    assert guarded.count() == 0
+    # guard off: the degenerate bucket really does explode -> the guard
+    # is load-bearing, not a no-op
+    unguarded = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8,
+                                    max_bucket_size=None)
+    assert unguarded.count() == 1000 * 999 // 2
+
+
+def test_shingle_once_pipeline_matches_per_stage_shingling(docs):
+    from chronominer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_docs,
+    )
+    d = docs.where(F.col("text").isNotNull())
+    sh = shingle_docs(d, "doc_id", "text", k=3).cache()
+    sigs_a = minhash_signatures(d, "doc_id", "text", k=3, num_hashes=16)
+    sigs_b = minhash_signatures(d, "doc_id", "text", k=3, num_hashes=16,
+                                shingles_df=sh)
+    assert sorted(map(tuple, sigs_a.collect())) == sorted(map(tuple, sigs_b.collect()))
+    pairs = lsh_candidate_pairs(sigs_b, "doc_id", bands=8, num_hashes=16)
+    va = ngram_jaccard_pairs(d, "doc_id", "text", pairs, k=3)
+    vb = ngram_jaccard_pairs(d, "doc_id", "text", pairs, k=3, shingles_df=sh)
+    assert sorted(map(tuple, va.collect())) == sorted(map(tuple, vb.collect()))
+
+
+def test_portable_simhash_matches_duckdb(spark):
+    import duckdb
+
+    rows = [(0, "the quick brown fox"), (1, "the quick brown dog"),
+            (2, "unrelated words entirely"), (3, "")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash(d, "doc_id", "text", bits=32, portable=True).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.execute("""
+        WITH w AS (SELECT doc_id, unnest(string_split_regex(
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS w
+                   FROM t),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::UBIGINT AS h FROM w),
+        bits AS (SELECT doc_id, r.b AS b,
+                        sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                 FROM h, range(0, 32) r(b) GROUP BY doc_id, r.b)
+        SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+        FROM bits GROUP BY doc_id
+    """).fetchall())
+    assert got == want
+    with pytest.raises(ValueError, match="60 bits"):
+        simhash(d, "doc_id", "text", bits=64, portable=True)
