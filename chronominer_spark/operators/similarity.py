@@ -1,7 +1,7 @@
 """Similarity search over embedding columns (array<float>).
 
 - :func:`cosine_similarity`  pure-expression dot/norm via ``zip_with`` +
-  ``aggregate`` (JVM-side, codegen; no UDF)
+  ``aggregate`` (JVM-side; no UDF)
 - :func:`brute_force_topk`   exact top-k: broadcast the (small) query set
   against the corpus, window-rank per query. The baseline and the
   verifier for the approximate path.
@@ -9,17 +9,35 @@
   sign-bit sketches bucket the corpus; candidates share a bucket in any
   of several sketch tables; verify with exact cosine inside buckets.
   Scale path: shuffle is (docs × tables) bucket keys, never the cross
-  product.
+  product. Hot buckets are capped (logged, never silent).
+- :func:`ivf_train` / :func:`ivf_build_index` / :func:`ivf_search`
+  IVF (inverted-file) ANN with the index build and the search as
+  SEPARATE jobs: the cell-assignment index is an ordinary DataFrame the
+  caller can persist as a table and reuse across query batches.
+  :func:`ivf_topk` is the one-shot convenience wrapper.
 
-Hyperplanes are generated deterministically (seeded hash expressions),
-so results are reproducible at any parallelism.
+Hyperplanes and centroids are NOT folded into the query plan as
+literals: they ride in a one-row broadcast DataFrame as a nested array
+column (``crossJoin(broadcast(...))``), so plan size stays O(1) in
+(tables × bits × dim) / (centroids × dim). With plan literals a
+768-dim × 256-centroid index used to blow past codegen limits — the
+broadcast relation is the physically correct home for index constants
+at scale.
+
+Hyperplanes are generated deterministically (seeded md5), so results
+are reproducible at any parallelism.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
@@ -72,41 +90,66 @@ def brute_force_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH
+# --------------------------------------------------------------------------
+
 def _hyperplane(seed: int, table: int, bit: int, dim: int) -> list[float]:
-    """Deterministic pseudo-gaussian hyperplane component list (driver-side
-    constant folded into the plan; tiny)."""
+    """Deterministic pseudo-gaussian hyperplane components (driver-side;
+    shipped via broadcast, never as plan literals)."""
     import hashlib
     import struct
     vals = []
     for d in range(dim):
         h = hashlib.md5(f"{seed}:{table}:{bit}:{d}".encode()).digest()
-        # two uniform(0,1] from the digest -> Box-Muller-lite: uniform
-        # difference is symmetric and good enough for sign sketches
+        # two uniform(0,1] from the digest -> symmetric difference is
+        # good enough for sign sketches
         u1 = (struct.unpack("<I", h[:4])[0] + 1) / 2**32
         u2 = (struct.unpack("<I", h[4:8])[0] + 1) / 2**32
         vals.append(u1 - u2)
     return vals
 
 
-def sketch_bits(vec_col, planes: list[list[float]]) -> F.Column:
-    """Sign-bit sketch of a vector against a plane set -> bit string."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(p)) for p in plane]),
-                    lambda x, y: x.cast("double") * y,
+def _broadcast_nested(
+    df: DataFrame, col_name: str, value, depth: int
+) -> DataFrame:
+    """Attach a driver-side nested float list as a column via a one-row
+    broadcast crossJoin — the scale-safe alternative to F.lit arrays."""
+    dt: T.DataType = T.DoubleType()
+    for _ in range(depth):
+        dt = T.ArrayType(dt, False)
+    schema = T.StructType([T.StructField(col_name, dt, False)])
+    one_row = df.sparkSession.createDataFrame([(value,)], schema)
+    return df.crossJoin(F.broadcast(one_row))
+
+
+def _sketch_buckets(vec_col, planes_col: str) -> F.Column:
+    """array<string> of per-table bucket keys ('t<i>:<bits>') for a
+    vector, computed against the broadcast plane tensor
+    (tables × bits × dim)."""
+    v = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: x.cast("double"),
+    )
+    return F.transform(
+        F.col(planes_col),
+        lambda planes_t, ti: F.concat(
+            F.lit("t"), ti.cast("string"), F.lit(":"),
+            F.array_join(
+                F.transform(
+                    planes_t,
+                    lambda p: F.when(
+                        F.aggregate(
+                            F.zip_with(v, p, lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x,
+                        ) >= 0,
+                        F.lit("1"),
+                    ).otherwise(F.lit("0")),
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ) >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+                "",
+            ),
+        ),
+    )
 
 
 def lsh_topk(
@@ -114,28 +157,57 @@ def lsh_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, dim: int = 16, n_tables: int = 8, n_bits: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus rows sharing any
     sketch-table bucket with the query; exact cosine + rank inside the
-    candidate set. Recall grows with ``n_tables``; cost stays linear."""
-    tables = [
+    candidate set. Recall grows with ``n_tables``; cost stays linear.
+
+    ``max_bucket_size`` guards against degenerate buckets on the corpus
+    side (e.g. the all-zeros region): larger buckets are excluded from
+    candidate generation with a logged drop — the affected vectors can
+    still be found through their other tables."""
+    planes = [
         [_hyperplane(seed, t, b, dim) for b in range(n_bits)]
         for t in range(n_tables)
     ]
 
     def bucketize(df: DataFrame, name: str) -> DataFrame:
-        buckets = F.array(*[
-            F.concat(F.lit(f"t{t}:"), sketch_bits(vec_col, tables[t]))
-            for t in range(n_tables)
-        ])
-        return df.select(
-            F.col(id_col).alias(name),
-            F.col(vec_col).alias(f"__{name}_v"),
-            F.explode(buckets).alias("bucket"),
+        with_planes = _broadcast_nested(
+            df.select(F.col(id_col).alias(name),
+                      F.col(vec_col).alias(f"__{name}_v")),
+            "__planes", planes, depth=3,
+        )
+        return with_planes.select(
+            name, f"__{name}_v",
+            F.explode(_sketch_buckets(f"__{name}_v", "__planes")).alias("bucket"),
         )
 
     qb = bucketize(queries, "query_id")
     cb = bucketize(corpus, "neighbor_id")
+
+    if max_bucket_size is not None:
+        from pyspark import StorageLevel
+        cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        dropped = (
+            sizes.where(F.col("__bsz") > max_bucket_size)
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum("__bsz").alias("n_rows"))
+            .collect()[0]
+        )
+        if dropped["n_buckets"]:
+            logger.warning(
+                "lsh_topk: dropping %d hot bucket(s) covering %d corpus-table "
+                "rows (> max_bucket_size=%d); vectors may still match via "
+                "other tables", dropped["n_buckets"], dropped["n_rows"],
+                max_bucket_size,
+            )
+        cb = cb.join(
+            sizes.where(F.col("__bsz") <= max_bucket_size).select("bucket"),
+            on="bucket", how="left_semi",
+        )
+
     cand = (
         qb.join(cb, on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -174,30 +246,25 @@ def embedding_near_dups(
     )
 
 
-def ivf_topk(
-    queries: DataFrame, corpus: DataFrame,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-    k: int = 5, n_centroids: int = 16, n_probe: int = 3,
-    sample_fraction: float = 0.2, seed: int = 42, iters: int = 3,
-) -> DataFrame:
-    """Approximate top-k via IVF (inverted file) partitioning.
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — build and search as separate jobs
+# --------------------------------------------------------------------------
 
-    Train: k-means centroids on a deterministic corpus sample — the
-    sample is small by construction, so Lloyd iterations run in driver
-    numpy on collected vectors (training is the one deliberately
-    driver-side step; assignment and search stay distributed).
-    Index: each corpus vector is assigned to its nearest centroid
-    (broadcast centroid table, pure expressions).
-    Search: each query probes its ``n_probe`` nearest centroids and
-    ranks exact cosine within those cells — cost ~ corpus/centroids ×
-    n_probe per query instead of the full corpus.
-    """
+def ivf_train(
+    corpus: DataFrame, vec_col: str = "embedding",
+    n_centroids: int = 16, sample_fraction: float = 0.2,
+    seed: int = 42, iters: int = 3,
+) -> list[list[float]]:
+    """K-means centroids on a deterministic corpus sample. The sample is
+    hard-capped driver-sized (≤20k vectors), so Lloyd iterations run in
+    driver numpy — training is the one deliberately driver-side step;
+    assignment and search stay distributed."""
     import numpy as np
 
     sample_rows = (
         corpus.select(vec_col)
         .sample(fraction=sample_fraction, seed=seed)
-        .limit(20_000)  # hard cap: training set stays driver-sized
+        .limit(20_000)
         .collect()
     )
     x = np.array([r[vec_col] for r in sample_rows], dtype=float)
@@ -206,7 +273,6 @@ def ivf_topk(
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), n_centroids, replace=False)]
     for _ in range(iters):
-        # cosine assignment on normalized vectors
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
         assign = (xn @ cn.T).argmax(axis=1)
@@ -214,34 +280,68 @@ def ivf_topk(
             members = x[assign == ci]
             if len(members):
                 cent[ci] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cent]
 
-    def nearest_cells(vec: F.Column, top: int) -> F.Column:
-        sims = F.array(*[
-            F.struct(
-                dot(F.transform(vec, lambda v: v.cast("double")),
-                    F.array(*[F.lit(float(c)) for c in cent[ci]])).alias("s"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci in range(n_centroids)
-        ])
-        ordered = F.reverse(F.array_sort(sims))
-        return F.slice(ordered, 1, top)
 
-    indexed = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.element_at(nearest_cells(F.col(vec_col), 1), 1)["cell"].alias("cell"),
+def _nearest_cells(vec_col, cents_col: str, top: int) -> F.Column:
+    """Top cells by dot product against the broadcast centroid matrix;
+    ties break toward the larger cell id (array_sort + reverse), which
+    is deterministic across engines and parallelism."""
+    v = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: x.cast("double"),
     )
-    probed = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+    sims = F.transform(
+        F.col(cents_col),
+        lambda c, ci: F.struct(
+            F.aggregate(F.zip_with(v, c, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x).alias("s"),
+            ci.alias("cell"),
+        ),
+    )
+    return F.slice(F.reverse(F.array_sort(sims)), 1, top)
+
+
+def ivf_build_index(
+    corpus: DataFrame, centroids: list[list[float]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid cell. Returns
+    (neighbor_id, __cv, cell) — an ordinary DataFrame: write it out
+    partitioned by ``cell`` to make the index a reusable table and the
+    per-cell search a partition-pruned scan."""
+    with_cents = _broadcast_nested(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv")),
+        "__cents", centroids, depth=2,
+    )
+    return with_cents.select(
+        "neighbor_id", "__cv",
+        F.element_at(_nearest_cells("__cv", "__cents", 1), 1)["cell"].alias("cell"),
+    )
+
+
+def ivf_search(
+    queries: DataFrame, index: DataFrame, centroids: list[list[float]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_probe: int = 3,
+) -> DataFrame:
+    """Probe each query's ``n_probe`` nearest cells of a prebuilt index
+    and rank exact cosine within those cells — cost ~ corpus/centroids ×
+    n_probe per query instead of the full corpus."""
+    probed = _broadcast_nested(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv")),
+        "__cents", centroids, depth=2,
+    ).select(
+        "query_id", "__qv",
         F.explode(
-            F.transform(nearest_cells(F.col(vec_col), n_probe),
+            F.transform(_nearest_cells("__qv", "__cents", n_probe),
                         lambda s: s["cell"])
         ).alias("cell"),
     )
     scored = (
-        probed.join(indexed, on="cell")
+        probed.join(index, on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
     )
@@ -254,3 +354,16 @@ def ivf_topk(
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
         .distinct()
     )
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_centroids: int = 16, n_probe: int = 3,
+    sample_fraction: float = 0.2, seed: int = 42, iters: int = 3,
+) -> DataFrame:
+    """One-shot IVF ANN: train + build + search in a single call."""
+    centroids = ivf_train(corpus, vec_col, n_centroids, sample_fraction,
+                          seed, iters)
+    index = ivf_build_index(corpus, centroids, id_col, vec_col)
+    return ivf_search(queries, index, centroids, id_col, vec_col, k, n_probe)

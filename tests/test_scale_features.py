@@ -109,3 +109,47 @@ def vectors(spark):
                    for i in range(8)]
             rows.append((cluster * 4 + j, [b + e for b, e in zip(base, jit)]))
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_256_centroids_100k_vectors_recall(spark, tmp_path):
+    """Scale posture for the de-literalized IVF: 256 centroids over 100k
+    synthetic clustered vectors, centroids shipped via broadcast (not
+    plan literals), index built and persisted as a parquet table
+    partitioned by cell, search run against the reloaded index."""
+    from chronominer_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search,
+        ivf_train,
+    )
+
+    dim, n_clusters, n = 16, 64, 100_000
+    # deterministic clustered vectors, generated distributed (no driver
+    # loop): cluster center from md5-style hash expressions + small jitter
+    ids = spark.range(n).select(F.col("id").alias("vec_id"))
+    cluster = F.pmod(F.col("vec_id"), F.lit(n_clusters))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (F.pmod(F.xxhash64(cluster, j), 1000) / 500.0 - 1.0)          # center
+            + (F.pmod(F.xxhash64(F.col("vec_id"), j), 200) / 2000.0)      # jitter
+        ),
+    )
+    corpus = ids.select("vec_id", vec.alias("embedding")).cache()
+    corpus.count()
+    queries = corpus.where(F.col("vec_id") < 8)
+
+    centroids = ivf_train(corpus, "embedding", n_centroids=256,
+                          sample_fraction=0.2, seed=1, iters=3)
+    assert len(centroids) == 256 and len(centroids[0]) == dim
+
+    # build and persist the index as a table; search reads it back
+    index_path = str(tmp_path / "ivf_index")
+    ivf_build_index(corpus, centroids).write.partitionBy("cell") \
+        .parquet(index_path)
+    index = spark.read.parquet(index_path)
+
+    ann = ivf_search(queries, index, centroids, k=5, n_probe=8)
+    bf = brute_force_topk(queries, corpus, k=5)
+    hits = ann.join(bf, ["query_id", "neighbor_id"]).count()
+    recall = hits / bf.count()
+    assert recall >= 0.8, f"recall {recall}"
