@@ -154,6 +154,12 @@ class SuiteEvaluator:
                     continue
                 results.append(self._drift(df, ref_df, c))
 
+        if not results:
+            raise ValueError(
+                "no evaluable constraints: the suite contains only "
+                "constraints that need ref_df (text_equality / drift) but "
+                "evaluate() was called with ref_df=None"
+            )
         res = results[0]
         for r in results[1:]:
             res = res.unionByName(r, allowMissingColumns=False)

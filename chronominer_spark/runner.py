@@ -155,26 +155,63 @@ class SuiteRunner:
         for wave in waves:
             sub = df.where(F.col(pcol).isin(wave))
             sub_ref = ref_df.where(F.col(pcol).isin(wave)) if ref_df is not None else None
+            pids = [self._partition_id(p) for p in wave]
             res, vio = self.evaluator.evaluate(
                 sub, sub_ref, snapshot_id=snapshot_id,
                 with_violations=with_violations,
             )
             self._write(self._stamp(res, run_id), self.results_path)
             if with_violations:
+                # dynamic partition overwrite only replaces partition dirs
+                # PRESENT in the frame: a re-validated partition that now
+                # has zero violations would leave its old violation files
+                # behind. A sentinel row per wave partition forces every
+                # wave partition dir to be rewritten; readers drop it.
+                vio = vio.unionByName(
+                    self._violation_sentinels(vio, pids, snapshot_id)
+                )
                 self._write(self._stamp(vio, run_id), self.violations_path)
             self.evaluator.unpersist_all()
-            pids = [self._partition_id(p) for p in wave]
             self.manifest.mark_completed(pids, snapshot_id, suite_hash, run_id)
             summary.completed.extend(pids)
 
-        summary.rows_validated = (
-            self.results(run_only=run_id)
-            .where(F.col("constraint_id").startswith("not_null:"))
+        res_run = self.results(run_only=run_id)
+        counted = (
+            res_run.where(F.col("constraint_id").startswith("not_null:"))
             .groupBy("constraint_id").agg(F.sum("rows_checked").alias("n"))
-            .agg(F.max("n")).collect()[0][0] or 0
+            .agg(F.max("n")).collect()[0][0]
         )
+        if counted is None:
+            # suites without a not_null constraint: fall back to the
+            # largest per-constraint row count instead of reporting 0
+            counted = (
+                res_run.groupBy("constraint_id")
+                .agg(F.sum("rows_checked").alias("n"))
+                .agg(F.max("n")).collect()[0][0]
+            )
+        summary.rows_validated = counted or 0
         summary.wall_seconds = time.time() - t0
         return summary
+
+    VIOLATION_SENTINEL = "__no_violations__"
+
+    def _violation_sentinels(
+        self, vio: DataFrame, pids: list[str], snapshot_id: int
+    ) -> DataFrame:
+        base = self.spark.createDataFrame(
+            [(p,) for p in pids], "partition_id string"
+        )
+        cols = []
+        for f in vio.schema.fields:
+            if f.name == "partition_id":
+                cols.append(F.col("partition_id"))
+            elif f.name == "constraint_id":
+                cols.append(F.lit(self.VIOLATION_SENTINEL).alias("constraint_id"))
+            elif f.name == "snapshot_id":
+                cols.append(F.lit(snapshot_id).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return base.select(*cols)
 
     # ------------------------------------------------------------------
     def results(self, run_only: str | None = None) -> DataFrame:
@@ -182,4 +219,26 @@ class SuiteRunner:
         return df.where(F.col("run_id") == run_only) if run_only else df
 
     def violations(self) -> DataFrame:
-        return self.spark.read.parquet(self.violations_path)
+        return self.spark.read.parquet(self.violations_path).where(
+            F.col("constraint_id") != self.VIOLATION_SENTINEL
+        )
+
+    def export(
+        self, path: str, fmt: str = "csv", run_only: str | None = None,
+        bom: bool = False,
+    ) -> None:
+        """Materialize results + violations as typed CSV or JSONL under
+        ``path`` (S6 sinks: nullable-int repair, empty-cell nulls)."""
+        from chronominer_spark.sources.sinks import write_csv, write_jsonl
+
+        import os as _os
+        res = self.results(run_only=run_only)
+        vio = self.violations()
+        if fmt == "csv":
+            write_csv(res, _os.path.join(path, "results"), bom=bom)
+            write_csv(vio, _os.path.join(path, "violations"), bom=bom)
+        elif fmt == "jsonl":
+            write_jsonl(res, _os.path.join(path, "results"))
+            write_jsonl(vio, _os.path.join(path, "violations"))
+        else:
+            raise ValueError(f"unknown export format: {fmt!r}")

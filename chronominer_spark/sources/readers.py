@@ -52,13 +52,24 @@ def read_text_documents(
     """Line-oriented document scan: (doc_path, line_no, line). Line
     terminators are stripped by the source; interior whitespace is
     preserved. ``line_no`` is the 1-based absolute index within the
-    document (stable under any later slicing)."""
+    document (stable under any later slicing).
+
+    Ordering is physical-order-correct for files larger than one split:
+    ``monotonically_increasing_id`` alone is only monotone WITHIN a
+    split and says nothing about split order, so big files could get
+    scrambled line numbers. Ordering by ``(_metadata.file_block_start,
+    monotonically_increasing_id)`` fixes that — the block byte offset
+    orders the splits of a file, the id orders rows inside each split
+    (the text source reads a split sequentially)."""
     from pyspark.sql import Window as W
 
     df = spark.read.text(paths)
-    w = W.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+    w = W.partitionBy(F.col("_metadata.file_path")).orderBy(
+        F.col("_metadata.file_block_start").asc(),
+        F.monotonically_increasing_id().asc(),
+    )
     return df.select(
-        F.input_file_name().alias("doc_path"),
+        F.col("_metadata.file_path").alias("doc_path"),
         F.row_number().over(w).alias("line_no"),
         F.col("value").alias("line"),
     )

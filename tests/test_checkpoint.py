@@ -99,3 +99,31 @@ def test_rerun_does_not_duplicate_results(runner, transcripts):
     runner.run(transcripts, snapshot_id=2)
     n2 = runner.results().count()
     assert n2 == n1  # same partitions overwritten, not appended
+
+
+def test_fix_and_revalidate_clears_stale_violations(runner, transcripts):
+    """A re-validated partition whose violations were fixed must not
+    serve stale violation rows from the earlier snapshot (dynamic
+    overwrite only rewrites partitions present in the frame; the
+    per-partition sentinel forces the rewrite)."""
+    s1 = runner.run(transcripts, snapshot_id=1)
+    assert s1.status == "complete"
+    before = runner.violations().where(
+        F.col("constraint_id").startswith("unique:")
+    )
+    assert before.count() > 0, "fixture must plant duplicate keys"
+
+    # "fix" the data: drop duplicate (conv_id, turn_idx) rows entirely
+    fixed = transcripts.dropDuplicates(["conv_id", "turn_idx"])
+    s2 = runner.run(fixed, snapshot_id=2)
+    assert s2.status == "complete"
+
+    after = runner.violations().where(
+        F.col("constraint_id").startswith("unique:")
+    )
+    assert after.count() == 0, "stale violation rows survived re-validation"
+    # results agree: latest run reports zero uniqueness violations
+    res = runner.results(run_only=s2.run_id).where(
+        F.col("constraint_id").startswith("unique:")
+    )
+    assert all(r["violation_count"] == 0 for r in res.collect())

