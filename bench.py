@@ -102,8 +102,9 @@ def _run_suite(spark, n_turns: int, fingerprint: bool = False):
     ref = spark.read.parquet(ref_p)
     rows = df.count()
 
+    from chronominer_spark.constraints.spec import default_vocab_dfs
     suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
-    ev = SuiteEvaluator(spark, suite)
+    ev = SuiteEvaluator(spark, suite, default_vocab_dfs(spark, list(TOOL_VOCAB)))
     t0 = time.time()
     res, vio = ev.evaluate(df, ref, snapshot_id=1)
     res.count()

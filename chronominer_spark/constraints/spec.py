@@ -210,7 +210,14 @@ def default_transcript_suite(
     role_vocab: list[str], tool_vocab: list[str]
 ) -> ConstraintSuite:
     """The flagship suite over the transcripts table (BASELINE.json
-    north_star): stats, uniqueness, RI, cross-field, equality, drift."""
+    north_star): stats, uniqueness, RI, cross-field, equality, drift.
+
+    The role vocabulary is inline (tiny, fused into the single-scan
+    row-check pass); the tool vocabulary is a **dim DataFrame** RI
+    (J6's broadcast + left-anti plan) — supply it via
+    :func:`default_vocab_dfs` to the evaluator/runner. At scale a tool
+    registry is a managed table, not a literal list, so the default
+    suite exercises that plan end-to-end."""
     return ConstraintSuite(
         name="transcripts_default",
         constraints=(
@@ -220,7 +227,7 @@ def default_transcript_suite(
             not_empty("text"),
             unique("conv_id", "turn_idx"),
             referential("role", vocab=role_vocab, allow_null=False),
-            referential("tool", vocab=tool_vocab, allow_null=True),
+            referential("tool", vocab_name="tool_vocab", allow_null=True),
             in_range("turn_idx", lo=1),
             matches("conv_id", r"^conv-\d{8}$"),
             cross_field_null("text", ["tool"]),  # null text ⇒ no tool call
@@ -233,3 +240,12 @@ def default_transcript_suite(
             drift_ks("length(text)", bins=50, lo=0.0, hi=1000.0),
         ),
     )
+
+
+def default_vocab_dfs(spark, tool_vocab: list[str]) -> dict:
+    """Dim DataFrames for :func:`default_transcript_suite` — the tool
+    registry as a (broadcastable) one-column table."""
+    return {
+        "tool_vocab": spark.createDataFrame([(v,) for v in tool_vocab],
+                                            "tool string"),
+    }

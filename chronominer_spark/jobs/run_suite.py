@@ -68,8 +68,11 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.table)
         ref = spark.read.parquet(args.ref) if args.ref else None
 
+    from chronominer_spark.constraints.spec import default_vocab_dfs
+
     suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
-    runner = SuiteRunner(spark, suite, args.output)
+    runner = SuiteRunner(spark, suite, args.output,
+                         vocab_dfs=default_vocab_dfs(spark, list(TOOL_VOCAB)))
     summary = runner.run(df, ref, snapshot_id=args.snapshot,
                          wave_size=args.wave_size)
 

@@ -25,6 +25,7 @@ def field_metrics(
     keys: list[str],
     fields: list[str],
     round_to: int = 6,
+    fuzzy_fields: dict[str, float] | None = None,
 ) -> DataFrame:
     """Per-field TP/FP/FN + precision/recall/F1 over key-aligned rows.
 
@@ -32,7 +33,17 @@ def field_metrics(
     Unmatched hypothesis rows count their non-null fields as FP; unmatched
     ground-truth rows count theirs as FN (the both-ways counting of
     unmatched entries in A1).
+
+    ``fuzzy_fields`` maps a (text) field name to a similarity threshold:
+    the field matches when the normalized Levenshtein ratio of the
+    ws-collapsed lowercased values is >= the threshold — the reference's
+    text-field matching (``eval/metrics.py:448-492``, threshold 0.85 /
+    case-insensitive / ws-normalized per ``eval/eval_config.yaml:140-168``).
+    null == null still matches; null vs non-null never does.
     """
+    from chronominer_spark.functions.text import levenshtein_ratio, normalize_text
+
+    fuzzy_fields = fuzzy_fields or {}
     h = hyp.select(*keys, *[F.col(f).alias(f"__h_{f}") for f in fields]) \
            .withColumn("__has_h", F.lit(1))
     g = gt.select(*keys, *[F.col(f).alias(f"__g_{f}") for f in fields]) \
@@ -42,12 +53,20 @@ def field_metrics(
     aggs = []
     for f in fields:
         hv, gv = F.col(f"__h_{f}"), F.col(f"__g_{f}")
+        if f in fuzzy_fields:
+            eq = (hv.isNull() & gv.isNull()) | (
+                hv.isNotNull() & gv.isNotNull()
+                & (levenshtein_ratio(normalize_text(hv), normalize_text(gv))
+                   >= F.lit(float(fuzzy_fields[f])))
+            )
+        else:
+            eq = hv.eqNullSafe(gv)
         matched = F.col("__has_h").isNotNull() & F.col("__has_g").isNotNull()
-        tp = matched & hv.eqNullSafe(gv)
-        fp = (matched & ~hv.eqNullSafe(gv) & hv.isNotNull()) | (
+        tp = matched & eq
+        fp = (matched & ~eq & hv.isNotNull()) | (
             F.col("__has_g").isNull() & hv.isNotNull()
         )
-        fn = (matched & ~hv.eqNullSafe(gv) & gv.isNotNull()) | (
+        fn = (matched & ~eq & gv.isNotNull()) | (
             F.col("__has_h").isNull() & gv.isNotNull()
         )
         aggs += [

@@ -367,17 +367,22 @@ FROM counts
 
 
 def q12_set_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1/T2/T4: union-distinct, intersection, difference of key sets."""
+    """T1/T2/T4: union-distinct, intersection, difference of key sets —
+    ONE plan (full-outer presence flags + a single aggregate), not three
+    separate count() jobs; o_orderkey is unique so the set algebra
+    reduces to flag arithmetic."""
     o = t(spark, sf_dir, "orders")
-    completed = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
-    temp = o.where(F.col("o_totalprice") > 100_000).select("o_orderkey")
-    return spark.createDataFrame(
-        [(
-            completed.intersect(temp).count(),
-            temp.exceptAll(completed).count(),
-            completed.union(temp).distinct().count(),
-        )],
-        "in_both long, only_temp long, union_distinct long",
+    completed = o.where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey").withColumn("__c", F.lit(1))
+    temp = o.where(F.col("o_totalprice") > 100_000) \
+        .select("o_orderkey").withColumn("__t", F.lit(1))
+    j = completed.join(temp, "o_orderkey", "full_outer")
+    return j.agg(
+        F.sum((F.col("__c").isNotNull() & F.col("__t").isNotNull())
+              .cast("long")).alias("in_both"),
+        F.sum((F.col("__t").isNotNull() & F.col("__c").isNull())
+              .cast("long")).alias("only_temp"),
+        F.count(F.lit(1)).alias("union_distinct"),
     )
 
 

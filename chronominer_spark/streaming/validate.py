@@ -68,6 +68,46 @@ def windowed_event_counts_stream(
     )
 
 
+def session_window_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "session_counts",
+    output_mode: str = "complete",
+) -> StreamingQuery:
+    """Event-time SESSION windows per key: a session closes when no
+    event arrives within ``gap`` (the streaming twin of the batch
+    ``sessionize`` operator / A9's gap variant). State is bounded by the
+    watermark — closed sessions are evicted, so memory is O(open
+    sessions), the posture a 10^12-row stream needs."""
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("win.start").cast("long").alias("session_start"),
+            F.col("win.end").cast("long").alias("session_end"),
+            key_col, "n", "total",
+        )
+    )
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def incremental_validation_query(
     spark: SparkSession,
     source_dir: str,
@@ -75,12 +115,20 @@ def incremental_validation_query(
     sink_path: str,
     checkpoint_path: str,
     row_violation_preds: dict[str, F.Column] | None = None,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Micro-batch constraint validation with an exactly-once sink:
     every micro-batch of new transcript files is validated with the
     row-level constraint predicates, and per-batch aggregate rows are
     appended via ``foreachBatch`` (idempotent on batch_id — Spark
     replays a failed batch with the same id, the writer overwrites).
+
+    ``available_now=True`` runs ONE drain pass over everything currently
+    available and terminates (``Trigger.AvailableNow``) — the streaming
+    form of the reference's re-pass loop over pending units (ST3,
+    ``modules/extract/file_processor.py:1099-1161``): call again later
+    with the same checkpoint and only files added since the last pass
+    are processed.
     """
     preds = row_violation_preds or {
         "not_null:role": F.col("role").isNull(),
@@ -105,8 +153,28 @@ def incremental_validation_query(
         (out.write.mode("overwrite")
             .parquet(f"{sink_path}/batch_id={batch_id}"))
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_available_now_pass(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sink_path: str,
+    checkpoint_path: str,
+    row_violation_preds: dict[str, F.Column] | None = None,
+) -> None:
+    """One synchronous AvailableNow validation pass (start, drain all
+    currently-available files, terminate). Repeated calls with the same
+    checkpoint resume where the previous pass stopped."""
+    q = incremental_validation_query(
+        spark, source_dir, schema, sink_path, checkpoint_path,
+        row_violation_preds, available_now=True,
+    )
+    q.awaitTermination()

@@ -87,3 +87,71 @@ def test_incremental_validation_sink(spark, tmp_path, transcripts):
     n_null_roles = out.agg(F.sum("`not_null:role`")).collect()[0][0]
     oracle = transcripts.where(F.col("role").isNull()).count()
     assert n_null_roles == oracle
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    from chronominer_spark.operators.assembly import sessionize
+    from chronominer_spark.streaming.validate import session_window_counts_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "sess_src")
+    events.write.mode("overwrite").parquet(src)
+
+    q = session_window_counts_stream(
+        spark, src, events.schema, key_col="user_id",
+        gap="30 minutes", watermark="1 hour",
+        query_name="sess_test", output_mode="complete",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sess_test")
+
+    # batch oracle: gap sessionization with the same 1800s gap
+    sessions = sessionize(events, "user_id", "ts", 1800)
+    batch = sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    got_per_user = got.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
+    assert got_per_user.count() == batch.count()
+    assert got_per_user.exceptAll(batch).count() == 0
+
+
+def test_available_now_repass_picks_up_new_files(spark, tmp_path, transcripts):
+    """ST3's streaming twin: a second AvailableNow pass with the same
+    checkpoint processes ONLY files added after the first pass."""
+    import glob
+    import os
+    import shutil
+
+    from chronominer_spark.streaming.validate import run_available_now_pass
+
+    staged = str(tmp_path / "staged")
+    transcripts.where(F.col("pbucket") < 4).coalesce(1).write.mode("overwrite") \
+        .parquet(staged + "/a")
+    transcripts.where(F.col("pbucket") >= 4).coalesce(1).write.mode("overwrite") \
+        .parquet(staged + "/b")
+    parts = sorted(glob.glob(staged + "/*/part-*.parquet"))
+    assert len(parts) == 2
+
+    flat = str(tmp_path / "flat"); os.makedirs(flat)
+    sink = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+
+    # pass 1: only the first file exists
+    shutil.copy(parts[0], flat + "/f0.parquet")
+    run_available_now_pass(spark, flat, transcripts.schema, sink, ckpt)
+    out1 = spark.read.option("basePath", sink).parquet(sink + "/batch_id=*")
+    n1 = out1.agg(F.sum("rows_checked")).collect()[0][0]
+    assert n1 == transcripts.where(F.col("pbucket") < 4).count()
+
+    # a file lands AFTER the first pass terminated
+    shutil.copy(parts[1], flat + "/f1.parquet")
+    run_available_now_pass(spark, flat, transcripts.schema, sink, ckpt)
+    out2 = spark.read.option("basePath", sink).parquet(sink + "/batch_id=*")
+    n2 = out2.agg(F.sum("rows_checked")).collect()[0][0]
+    # second pass added exactly the new file's rows (no reprocessing)
+    assert n2 == transcripts.count()
+    assert out2.count() > out1.count()

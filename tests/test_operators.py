@@ -295,3 +295,36 @@ def test_portable_simhash_matches_duckdb(spark):
     assert got == want
     with pytest.raises(ValueError, match="60 bits"):
         simhash(d, "doc_id", "text", bits=64, portable=True)
+
+
+def test_field_metrics_fuzzy_text_matching(spark):
+    """Reference-style eval: text fields match at normalized Levenshtein
+    >= 0.85 (case-insensitive, ws-collapsed), exact fields stay strict."""
+    from chronominer_spark.operators.evalmetrics import field_metrics
+
+    hyp = spark.createDataFrame(
+        [(1, "The  Quick Brown Fox", 10),   # fuzzy-equal to gt (case+ws)
+         (2, "completely different", 20),   # fuzzy-mismatch
+         (3, "Johann Sebastian Bach", 31),  # 1-char typo -> ratio > 0.85
+         (4, None, None)],                  # null == null
+        "k int, name string, v int",
+    )
+    gt = spark.createDataFrame(
+        [(1, "the quick brown fox", 10),
+         (2, "unrelated text here", 20),
+         (3, "Johann Sebastien Bach", 30),
+         (4, None, None)],
+        "k int, name string, v int",
+    )
+    strict = {r["field"]: r for r in
+              field_metrics(hyp, gt, ["k"], ["name", "v"]).collect()}
+    fuzzy = {r["field"]: r for r in
+             field_metrics(hyp, gt, ["k"], ["name", "v"],
+                           fuzzy_fields={"name": 0.85}).collect()}
+    # strict: only the null==null row matches name
+    assert strict["name"]["tp"] == 1 and strict["name"]["fp"] == 3
+    # fuzzy: rows 1 (case/ws) and 3 (typo) now match; row 2 still FP
+    assert fuzzy["name"]["tp"] == 3 and fuzzy["name"]["fp"] == 1
+    # the exact int field is unaffected by the fuzzy option
+    assert strict["v"] == fuzzy["v"]
+    assert fuzzy["v"]["tp"] == 3 and fuzzy["v"]["fp"] == 1  # 31 != 30

@@ -26,8 +26,9 @@ def _evaluate(spark, df, ref, shuffle):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
     try:
+        from chronominer_spark.constraints.spec import default_vocab_dfs
         suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
-        ev = SuiteEvaluator(spark, suite)
+        ev = SuiteEvaluator(spark, suite, default_vocab_dfs(spark, list(TOOL_VOCAB)))
         res, vio = ev.evaluate(df, ref, snapshot_id=3)
         return res.cache(), vio.cache()
     finally:

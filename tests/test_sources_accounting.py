@@ -179,10 +179,12 @@ def test_runner_export_csv(spark, transcripts, ref_snapshot, gen_cfg, tmp_path):
     from chronominer_spark.datagen import ROLE_VOCAB, TOOL_VOCAB
     from chronominer_spark.runner import SuiteRunner
 
+    from chronominer_spark.constraints.spec import default_vocab_dfs
     runner = SuiteRunner(
         spark,
         default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB)),
         str(tmp_path / "run_out"),
+        vocab_dfs=default_vocab_dfs(spark, list(TOOL_VOCAB)),
     )
     runner.run(transcripts, ref_snapshot, snapshot_id=1)
     runner.export(str(tmp_path / "export"), fmt="csv")

@@ -27,8 +27,9 @@ from chronominer_spark.datagen import ROLE_VOCAB, TOOL_VOCAB, role_vocab_df
 
 @pytest.fixture(scope="module")
 def evaluated(spark, transcripts, ref_snapshot):
+    from chronominer_spark.constraints.spec import default_vocab_dfs
     suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
-    ev = SuiteEvaluator(spark, suite)
+    ev = SuiteEvaluator(spark, suite, default_vocab_dfs(spark, list(TOOL_VOCAB)))
     res, vio = ev.evaluate(transcripts, ref_snapshot, snapshot_id=7)
     return res.cache(), vio.cache()
 
