@@ -84,6 +84,90 @@ def enforce_max_gap(
     return df.withColumn(end, F.greatest(new_end, F.col(end)))
 
 
+def resolve_anchor_lines(
+    lines: DataFrame,
+    anchors: DataFrame,
+    doc_col: str = "doc",
+    line_col: str = "line_no",
+    text_col: str = "line",
+    marker_col: str = "marker",
+    min_substring_length: int = 3,
+    context_window: int = 0,
+) -> DataFrame:
+    """W7 text-anchored nearest-line resolution
+    (``/root/reference/modules/line_ranges/readjuster.py:1536-1590``).
+
+    ``anchors``: one row per marker to resolve, with columns
+    (``doc_col``, ``anchor_id``, ``marker_col``, ``search_start``,
+    ``search_end``, ``nearest_to``). Returns every anchor row plus
+    ``resolved_line`` (nullable long):
+
+    - the marker is normalized (ws-collapse + lower) and matched as a
+      substring of the normalized line;
+    - the search is bounded to [search_start, search_end]; when nothing
+      matches there, ONE expansion by ``context_window`` lines per side
+      is tried — never the whole document (a distant unique match would
+      move a boundary away from its range);
+    - ambiguity resolves to the candidate nearest ``nearest_to``, ties
+      to the earlier line;
+    - markers shorter than ``min_substring_length`` after trim resolve
+      to null (the mismatch-retry loop upstream asks for a longer one).
+
+    Plan: equi-join on doc + bounded-range predicate, then a rank-1
+    window per anchor ordered by (primary-window-first, |line −
+    nearest_to|, line). Shuffles on doc only; candidates per anchor are
+    bounded by the window width.
+    """
+    from chronominer_spark.functions.text import normalize_text
+
+    a = anchors.select(
+        F.col(doc_col).alias("__doc"),
+        "anchor_id",
+        F.trim(F.coalesce(F.col(marker_col), F.lit(""))).alias("__marker_raw"),
+        F.col("search_start").cast("long").alias("__s"),
+        F.col("search_end").cast("long").alias("__e"),
+        F.col("nearest_to").cast("long").alias("__t"),
+    ).withColumn("__marker", normalize_text(F.col("__marker_raw")))
+    eligible = a.where(F.length("__marker_raw") >= min_substring_length)
+
+    li = lines.select(
+        F.col(doc_col).alias("__doc"),
+        F.col(line_col).cast("long").alias("__line"),
+        normalize_text(F.col(text_col)).alias("__norm_line"),
+    )
+    cand = (
+        eligible.join(li, on="__doc")
+        .where(
+            (F.col("__line") >= F.col("__s") - context_window)
+            & (F.col("__line") <= F.col("__e") + context_window)
+            & F.col("__norm_line").contains(F.col("__marker"))
+        )
+        .withColumn(
+            "__in_primary",
+            (F.col("__line") >= F.col("__s")) & (F.col("__line") <= F.col("__e")),
+        )
+    )
+    w = W.partitionBy("__doc", "anchor_id").orderBy(
+        F.col("__in_primary").desc(),           # window first, expansion only as fallback
+        F.abs(F.col("__line") - F.col("__t")).asc(),
+        F.col("__line").asc(),
+    )
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__doc", "anchor_id", F.col("__line").alias("resolved_line"))
+    )
+    return (
+        anchors.join(
+            best,
+            on=[anchors[doc_col] == best["__doc"],
+                anchors["anchor_id"] == best["anchor_id"]],
+            how="left",
+        )
+        .select(anchors["*"], best["resolved_line"])
+    )
+
+
 def slice_chunks(
     df: DataFrame, key: str, idx: str,
     first_n: int | None = None,

@@ -989,6 +989,74 @@ GROUP BY event_type
 """
 
 
+def q34_anchor_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 text-anchored nearest-line resolution over lines synthesized
+    from events (marker containment is ambiguous by construction — 'w1'
+    matches 'w1','w10'..'w19' — so the nearest-to tie-break is
+    exercised; window [5,30], one expansion by 2)."""
+    from chronominer_spark.operators.ranges import resolve_anchor_lines
+
+    e = t(spark, sf_dir, "events")
+    lines = (
+        e.select(
+            (F.col("user_id") % 20).cast("long").alias("doc"),
+            F.col("event_id"),
+            F.concat(F.lit("w"), (F.col("event_id") % 37).cast("string"))
+            .alias("line"),
+        )
+        .withColumn(
+            "line_no",
+            F.row_number().over(
+                W.partitionBy("doc").orderBy(F.col("event_id").asc())
+            ).cast("long"),
+        )
+    )
+    anchors = lines.select("doc").distinct().select(
+        "doc",
+        F.col("doc").cast("string").alias("anchor_id"),
+        F.concat(F.lit("w"), (F.col("doc") % 37).cast("string")).alias("marker"),
+        F.lit(5).alias("search_start"),
+        F.lit(30).alias("search_end"),
+        F.lit(12).alias("nearest_to"),
+    )
+    out = resolve_anchor_lines(lines, anchors, context_window=2)
+    # unresolved -> -1: a nullable BIGINT fetched through pandas decays
+    # to float64 in the driver comparison; the sentinel keeps the typed
+    # hash meaningful (operator-level null semantics tested in pytest)
+    return out.select(
+        "doc", F.coalesce("resolved_line", F.lit(-1)).alias("resolved_line")
+    )
+
+
+_Q34_SQL = """
+WITH lines AS (
+  SELECT (user_id % 20)::BIGINT AS doc,
+         (row_number() OVER (PARTITION BY user_id % 20
+                             ORDER BY event_id ASC))::BIGINT AS line_no,
+         'w' || (event_id % 37)::VARCHAR AS line
+  FROM events),
+anchors AS (
+  SELECT DISTINCT doc, 'w' || (doc % 37)::VARCHAR AS marker FROM lines),
+cand AS (
+  SELECT a.doc, l.line_no,
+         (l.line_no BETWEEN 5 AND 30) AS in_primary
+  FROM anchors a JOIN lines l ON l.doc = a.doc
+  WHERE length(a.marker) >= 3  -- min_substring_length rejection (W7)
+    AND l.line_no BETWEEN 5 - 2 AND 30 + 2
+    AND contains(l.line, a.marker)),
+ranked AS (
+  SELECT doc, line_no,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY in_primary DESC,
+                                     abs(line_no - 12) ASC,
+                                     line_no ASC) AS rn
+  FROM cand)
+SELECT a.doc, coalesce(r.line_no, -1)::BIGINT AS resolved_line
+FROM anchors a LEFT JOIN (SELECT doc, line_no FROM ranked WHERE rn = 1) r
+  ON a.doc = r.doc
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -1023,6 +1091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_ivf_ann": q31_ivf_ann,
     "q32_group_size_profile": q32_group_size_profile,
     "q33_token_budget_chunks": q33_token_budget_chunks,
+    "q34_anchor_resolution": q34_anchor_resolution,
 }
 
 ORACLES: dict[str, str] = {
@@ -1053,6 +1122,7 @@ ORACLES: dict[str, str] = {
     "q28_json_extract": _Q28_SQL,
     "q32_group_size_profile": _Q32_SQL,
     "q33_token_budget_chunks": _Q33_SQL,
+    "q34_anchor_resolution": _Q34_SQL,
     # q19/q25/q26/q29/q30/q31: rows-only (non-SQL-expressible at oracle
     # cost, engine-specific winnowing hash, or approximate-by-design);
     # correctness covered by in-repo tests.

@@ -141,3 +141,58 @@ def test_json_extraction_three_stages(spark):
     )
     got = {r["id"]: (r["parsed"]["k"] if r["parsed"] else None) for r in out.collect()}
     assert got == {1: 1, 2: 2, 3: 3, 4: None, 5: None}
+
+
+def test_resolve_anchor_lines_reference_semantics(spark):
+    """W7: nearest-candidate resolution with bounded search + single
+    expansion, mirroring readjuster._match_semantic_marker."""
+    from chronominer_spark.operators.ranges import resolve_anchor_lines
+
+    lines = spark.createDataFrame(
+        [("d1", i, txt) for i, txt in enumerate(
+            ["alpha beta", "the MARKER here", "gamma", "delta",
+             "the marker here", "epsilon", "zeta", "marker again",
+             "eta", "theta"], 1)],
+        "doc string, line_no long, line string",
+    )
+    anchors = spark.createDataFrame(
+        [
+            # ambiguous: 'marker' at lines 2, 5, 8 in window -> nearest to 4 is 5
+            ("d1", "a1", "marker", 1, 10, 4),
+            # tie: lines 2 and 8 equidistant from 5 within window [1,10]
+            # minus line 5? narrow window [1,3]+[7,10] impossible; use
+            # nearest_to=5 with window [1,10]: line 5 itself wins (dist 0)
+            ("d1", "a2", "marker", 1, 10, 5),
+            # bounded: window [9,10] has no match; expansion by 1 reaches
+            # line 8 -> resolves; without expansion it would be null
+            ("d1", "a3", "marker", 9, 10, 9),
+            # no match anywhere in window+expansion -> null
+            ("d1", "a4", "zzzz", 1, 10, 5),
+            # short marker rejected
+            ("d1", "a5", "ab", 1, 10, 5),
+            # case/whitespace-insensitive containment
+            ("d1", "a6", "  The   MARKER ", 4, 6, 4),
+        ],
+        "doc string, anchor_id string, marker string, "
+        "search_start long, search_end long, nearest_to long",
+    )
+    got = {r["anchor_id"]: r["resolved_line"]
+           for r in resolve_anchor_lines(lines, anchors,
+                                         context_window=1).collect()}
+    assert got == {"a1": 5, "a2": 5, "a3": 8, "a4": None,
+                   "a5": None, "a6": 5}
+
+    # equidistant tie -> earlier line: marker at 2 and 8, nearest_to=5,
+    # exclude line 5 by windowing [1,4] u [6,10]? single window: use a
+    # doc without the middle occurrence
+    lines2 = spark.createDataFrame(
+        [("d2", 1, "x marker x"), ("d2", 2, "y"), ("d2", 3, "z marker z")],
+        "doc string, line_no long, line string",
+    )
+    anchors2 = spark.createDataFrame(
+        [("d2", "t1", "marker", 1, 3, 2)],
+        "doc string, anchor_id string, marker string, "
+        "search_start long, search_end long, nearest_to long",
+    )
+    got2 = resolve_anchor_lines(lines2, anchors2).collect()[0]["resolved_line"]
+    assert got2 == 1  # ties break to the earlier line
