@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q21_embedding_topk",
     "q22_quality_scores",
     "q24_windowed_event_counts",
+    "q33_token_budget_chunks",
 ]
 
 SUITE_TURNS = int(os.environ.get("SPARK_GRAFT_SUITE_TURNS", "2000000"))
@@ -124,6 +125,38 @@ def _run_suite(spark, n_turns: int, fingerprint: bool = False):
     return wall, rows, fp
 
 
+def _run_runner(spark, n_turns: int) -> tuple[float, int]:
+    """End-to-end SuiteRunner wall: evaluate + results/violations parquet
+    writes (dynamic partition overwrite, incl. the zero-violation
+    sentinels) + manifest commit — the previously-untimed write path."""
+    import shutil
+    import tempfile
+
+    from chronominer_spark.constraints.spec import (
+        default_transcript_suite,
+        default_vocab_dfs,
+    )
+    from chronominer_spark.datagen import ROLE_VOCAB, TOOL_VOCAB
+    from chronominer_spark.runner import SuiteRunner
+
+    cur_p, ref_p = _materialize_transcripts(spark, n_turns)
+    df = spark.read.parquet(cur_p)
+    ref = spark.read.parquet(ref_p)
+    out_root = tempfile.mkdtemp(prefix="cm_bench_runner_")
+    try:
+        runner = SuiteRunner(
+            spark, default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB)),
+            out_root, vocab_dfs=default_vocab_dfs(spark, list(TOOL_VOCAB)),
+        )
+        t0 = time.time()
+        s = runner.run(df, ref, snapshot_id=1)
+        wall = time.time() - t0
+        assert s.status == "complete", s.status
+        return wall, s.rows_validated
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
 def _session(cpus: str, shuffle: int):
     from chronominer_spark.session import build_session
 
@@ -142,6 +175,7 @@ def main() -> None:
     t0 = time.time()
     qtimes = _run_queries(spark, sf_dir)
     suite_wall, suite_rows, _ = _run_suite(spark, SUITE_TURNS)
+    runner_wall, runner_rows = _run_runner(spark, SUITE_TURNS)
     total = round(time.time() - t0, 3)
     turns_per_sec = round(suite_rows / suite_wall, 1)
     spark.stop()
@@ -156,6 +190,8 @@ def main() -> None:
             "turns": suite_rows,
             "wall_sec": round(suite_wall, 3),
             "turns_per_sec": turns_per_sec,
+            "runner_wall_sec": round(runner_wall, 3),
+            "runner_turns_per_sec": round(runner_rows / runner_wall, 1),
         },
     }
 

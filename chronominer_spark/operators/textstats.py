@@ -114,16 +114,26 @@ def doc_fingerprint(text_col, normalize: bool = True) -> F.Column:
 def winnowing_fingerprints(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 5, window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: hash every char k-gram,
     keep the minimum hash in each sliding window of ``window`` hashes,
     distinct per doc. Robust partial-overlap fingerprint (MOSS-style).
-    Pure expressions: sequence + transform + slice, no UDF."""
+    Pure expressions: sequence + transform + slice, no UDF.
+
+    ``portable=True`` hashes k-grams with the md5-derived 60-bit scheme
+    (same as MinHash/SimHash) so the fingerprints are engine-portable
+    and DuckDB-oracle-checkable; default stays xxhash64 (faster)."""
     c = normalize_text(F.col(text_col))
     n = F.length(c)
+    if portable:
+        def gram_hash(g: F.Column) -> F.Column:
+            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    else:
+        gram_hash = F.xxhash64
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+        lambda i: gram_hash(c.substr(i, F.lit(k))),
     )
     picks = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),

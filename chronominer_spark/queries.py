@@ -615,6 +615,71 @@ def q19_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mk_q19_sql(num_hashes: int = 16, bands: int = 8, prime: int = 1_000_000_007) -> str:
+    """DuckDB mirror of the full MinHash→band→bucket-join→Jaccard-verify
+    pipeline (portable md5 double-hashing, same constants as q19). The
+    hot-bucket guard is intentionally absent: at oracle scale no bucket
+    approaches the cap, so guarded and unguarded pipelines agree —
+    guard behavior is pytest-covered instead."""
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h1 + {i} * h2) % {prime})::BIGINT AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"m{b * r + j}::VARCHAR" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM norm),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hh AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 15))::UBIGINT % {prime} AS h1,
+              ('0x' || substr(md5(s), 17, 15))::UBIGINT % {prime} AS h2
+       FROM ex),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hh GROUP BY doc_id),
+banded AS (
+  {band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*)::BIGINT AS i
+  FROM pairs p
+  JOIN ex ea ON ea.doc_id = p.id_a
+  JOIN ex eb ON eb.doc_id = p.id_b AND eb.s = ea.s
+  GROUP BY 1, 2)
+SELECT t.id_a, t.id_b, round(t.i / (sa.n + sb.n - t.i), 6) AS jaccard
+FROM inter t
+JOIN sizes sa ON sa.doc_id = t.id_a
+JOIN sizes sb ON sb.doc_id = t.id_b
+WHERE t.i / (sa.n + sb.n - t.i) >= 0.2
+"""
+
+
+_Q19_SQL = _mk_q19_sql()
+
+
 def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable SimHash sketches (md5-derived 60-bit word hash, same
     scheme as MinHash) so the DuckDB oracle reproduces them exactly."""
@@ -799,10 +864,35 @@ FROM events GROUP BY 1, 2
 
 
 def q25_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (xxhash64 — rows-only check)."""
-    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    fp = winnowing_fingerprints(d, "doc_id", "text")
+    """Portable winnowing rolling-hash fingerprints (md5-derived 60-bit
+    gram hash) with a DuckDB oracle. Null texts excluded in both engines
+    (DuckDB's list_distinct drops NULL entries, Spark's array_distinct
+    keeps them — filtering sidesteps the divergent null convention)."""
+    d = t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull()
+    )
+    fp = winnowing_fingerprints(d, "doc_id", "text", portable=True)
     return fp.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+
+
+_Q25_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_SQL.format(col='text')} AS c
+  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(c) - 5 + 1, 1) + 1),
+           i -> ('0x' || substr(md5(substr(c, i, 5)), 1, 15))::UBIGINT::BIGINT)
+           AS grams
+  FROM d),
+p AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(grams) - 4, 0) + 1),
+           i -> list_min(grams[i + 1:i + 4]))) AS fps
+  FROM g)
+SELECT doc_id, len(fps)::BIGINT AS n_fingerprints FROM p
+"""
 
 
 def q26_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,17 +1203,21 @@ ORACLES: dict[str, str] = {
     "q16_token_stats": _Q16_SQL,
     "q17_exact_dedup": _Q17_SQL,
     "q18_minhash_signature": _Q18_SQL,
+    "q19_lsh_jaccard_pairs": _Q19_SQL,
     "q20_simhash": _Q20_SQL,
     "q21_embedding_topk": _Q21_SQL,
     "q22_quality_scores": _Q22_SQL,
     "q23_language_id": _Q23_SQL,
     "q24_windowed_event_counts": _Q24_SQL,
+    "q25_winnowing": _Q25_SQL,
     "q27_range_repair": _Q27_SQL,
     "q28_json_extract": _Q28_SQL,
     "q32_group_size_profile": _Q32_SQL,
     "q33_token_budget_chunks": _Q33_SQL,
     "q34_anchor_resolution": _Q34_SQL,
-    # q19/q25/q26/q29/q30/q31: rows-only (non-SQL-expressible at oracle
-    # cost, engine-specific winnowing hash, or approximate-by-design);
-    # correctness covered by in-repo tests.
+    # q26/q29/q30/q31: rows-only — cross-engine float sign-bit equality
+    # (q26), approximate-by-design sketches (q29), per-block greedy
+    # assignment (q30), and driver-trained k-means (q31) have no faithful
+    # SQL mirror; correctness covered by in-repo tests (recall vs brute
+    # force, partial/final invariance, hand examples).
 }
