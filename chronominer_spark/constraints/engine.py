@@ -421,16 +421,24 @@ class SuiteEvaluator:
         (key, input-partition) so a hot key's rows combine locally before
         the shuffle; stage 2 merges the partial counts. Physically this is
         the partial/final split Spark's hash aggregate performs — made
-        explicit here so the skew posture is visible and testable."""
+        explicit here so the skew posture is visible and testable.
+        ``salted=False`` collapses the two stages into one group-count
+        (Spark's map-side partial agg does the same local combining with
+        one fewer exchange; A/B in BENCH/BASELINE.md)."""
         keys = c.params["cols"]
-        stage1 = (
-            df.groupBy("_pid", *keys, F.spark_partition_id().alias("_salt"))
-            .agg(F.count(F.lit(1)).alias("_partial"))
-        )
-        counts = (
-            stage1.groupBy("_pid", *keys)
-            .agg(F.sum("_partial").alias("dup_count"))
-        )
+        if c.params.get("salted", True):
+            stage1 = (
+                df.groupBy("_pid", *keys, F.spark_partition_id().alias("_salt"))
+                .agg(F.count(F.lit(1)).alias("_partial"))
+            )
+            counts = (
+                stage1.groupBy("_pid", *keys)
+                .agg(F.sum("_partial").alias("dup_count"))
+            )
+        else:
+            counts = df.groupBy("_pid", *keys).agg(
+                F.count(F.lit(1)).alias("dup_count")
+            )
         dups = self._share(counts.where(F.col("dup_count") > 1))
 
         totals = df.groupBy("_pid").agg(F.count(F.lit(1)).alias("rows_checked"))
@@ -482,13 +490,18 @@ class SuiteEvaluator:
         group_col = p["group_col"]
         max_rows = p.get("max_group_rows")
 
-        stage1 = (
-            df.groupBy("_pid", group_col, F.spark_partition_id().alias("_salt"))
-            .agg(F.count(F.lit(1)).alias("_partial"))
-        )
-        sizes = stage1.groupBy("_pid", group_col).agg(
-            F.sum("_partial").alias("group_rows")
-        )
+        if p.get("salted", True):
+            stage1 = (
+                df.groupBy("_pid", group_col, F.spark_partition_id().alias("_salt"))
+                .agg(F.count(F.lit(1)).alias("_partial"))
+            )
+            sizes = stage1.groupBy("_pid", group_col).agg(
+                F.sum("_partial").alias("group_rows")
+            )
+        else:
+            sizes = df.groupBy("_pid", group_col).agg(
+                F.count(F.lit(1)).alias("group_rows")
+            )
         base = sizes.groupBy("_pid").agg(
             F.count(F.lit(1)).alias("n_groups"),
             F.min("group_rows").cast("double").alias("min"),

@@ -61,8 +61,14 @@ def not_empty(col: str, max_rate: float = 0.0) -> Constraint:
                       {"col": col, "max_rate": max_rate})
 
 
-def unique(*cols: str) -> Constraint:
-    return Constraint(f"unique:{','.join(cols)}", "unique", {"cols": list(cols)})
+def unique(*cols: str, salted: bool = True) -> Constraint:
+    """Uniqueness of the composite key. ``salted=True`` (default, the
+    north rule's explicit skew posture) runs the two-stage salted
+    aggregate; ``salted=False`` uses a plain group-count and relies on
+    Spark's map-side partial aggregation for the same local combining
+    with one fewer exchange (see BENCH/BASELINE.md for the A/B)."""
+    return Constraint(f"unique:{','.join(cols)}", "unique",
+                      {"cols": list(cols), "salted": salted})
 
 
 def referential(
@@ -108,14 +114,18 @@ def cross_field_null(anchor: str, dependents: list[str], max_rate: float = 0.0) 
     )
 
 
-def group_stats(group_col: str, max_group_rows: int | None = None) -> Constraint:
+def group_stats(group_col: str, max_group_rows: int | None = None,
+                salted: bool = True) -> Constraint:
     """Per-group (e.g. per-conversation) size profile via explicit
     two-stage salted aggregation — skew-proof even for a single hot
     group. ``max_group_rows`` turns it into a hot-group guard with
-    violation rows."""
+    violation rows. ``salted=False`` -> plain group-count (one fewer
+    exchange; Spark's partial agg still combines the hot group's rows
+    map-side — see BENCH/BASELINE.md for the A/B)."""
     return Constraint(
         f"gstats:{group_col}", "group_stats",
-        {"group_col": group_col, "max_group_rows": max_group_rows},
+        {"group_col": group_col, "max_group_rows": max_group_rows,
+         "salted": salted},
     )
 
 
