@@ -39,7 +39,9 @@ BENCH_QUERIES = [
     "q21_embedding_topk",
     "q22_quality_scores",
     "q24_windowed_event_counts",
+    "q26_lsh_ann_topk",
     "q33_token_budget_chunks",
+    "q35_embedding_near_dups",
 ]
 
 SUITE_TURNS = int(os.environ.get("SPARK_GRAFT_SUITE_TURNS", "2000000"))

@@ -78,7 +78,10 @@ def brute_force_topk(
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6),
+        )
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -86,7 +89,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -94,18 +97,31 @@ def brute_force_topk(
 # Random-hyperplane LSH
 # --------------------------------------------------------------------------
 
-def _hyperplane(seed: int, table: int, bit: int, dim: int) -> list[float]:
-    """Deterministic pseudo-gaussian hyperplane components (driver-side;
-    shipped via broadcast, never as plan literals)."""
+def _hyperplane(
+    seed: int, table: int, bit: int, dim: int,
+    scheme: str = "md5_uniform",
+) -> list[float]:
+    """Deterministic hyperplane components (driver-side; shipped via
+    broadcast, never as plan literals).
+
+    ``md5_uniform``: pseudo-gaussian (difference of two md5-derived
+    uniforms). ``rademacher_md5``: ±1 signs from the top bit of the md5
+    hex digest — an equally valid sign-sketch family (Achlioptas-style
+    random signs) whose plane values any engine with ``md5()`` can
+    reproduce, which is what makes the q26 DuckDB oracle possible."""
     import hashlib
     import struct
     vals = []
     for d in range(dim):
-        h = hashlib.md5(f"{seed}:{table}:{bit}:{d}".encode()).digest()
+        h = hashlib.md5(f"{seed}:{table}:{bit}:{d}".encode())
+        if scheme == "rademacher_md5":
+            vals.append(1.0 if h.hexdigest()[0] in "01234567" else -1.0)
+            continue
+        dg = h.digest()
         # two uniform(0,1] from the digest -> symmetric difference is
         # good enough for sign sketches
-        u1 = (struct.unpack("<I", h[:4])[0] + 1) / 2**32
-        u2 = (struct.unpack("<I", h[4:8])[0] + 1) / 2**32
+        u1 = (struct.unpack("<I", dg[:4])[0] + 1) / 2**32
+        u2 = (struct.unpack("<I", dg[4:8])[0] + 1) / 2**32
         vals.append(u1 - u2)
     return vals
 
@@ -158,6 +174,7 @@ def lsh_topk(
     k: int = 5, dim: int = 16, n_tables: int = 8, n_bits: int = 8,
     seed: int = 42,
     max_bucket_size: int | None = 10_000,
+    plane_scheme: str = "md5_uniform",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus rows sharing any
     sketch-table bucket with the query; exact cosine + rank inside the
@@ -168,7 +185,7 @@ def lsh_topk(
     candidate generation with a logged drop — the affected vectors can
     still be found through their other tables."""
     planes = [
-        [_hyperplane(seed, t, b, dim) for b in range(n_bits)]
+        [_hyperplane(seed, t, b, dim, plane_scheme) for b in range(n_bits)]
         for t in range(n_tables)
     ]
 
@@ -214,8 +231,13 @@ def lsh_topk(
         .select("query_id", "__query_id_v", "neighbor_id", "__neighbor_id_v")
         .distinct()
     )
+    # rank on ROUNDED cosine (ties broken by neighbor_id) so float noise
+    # below the 6th decimal can never flip an ordering across engines or
+    # parallelism levels
     scored = cand.withColumn(
-        "cosine", cosine_similarity(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+        "cosine",
+        F.round(cosine_similarity(F.col("__query_id_v"),
+                                  F.col("__neighbor_id_v")), 6),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -223,7 +245,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -231,12 +253,14 @@ def embedding_near_dups(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, dim: int = 16, n_tables: int = 6,
     n_bits: int = 10, seed: int = 7,
+    plane_scheme: str = "md5_uniform",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, via the same
     hyperplane bucketing (self-join) + exact verify."""
     pairs = lsh_topk(
         df, df, id_col=id_col, vec_col=vec_col, k=50,
         dim=dim, n_tables=n_tables, n_bits=n_bits, seed=seed,
+        plane_scheme=plane_scheme,
     )
     return (
         pairs.where((F.col("cosine") >= threshold)

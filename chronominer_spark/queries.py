@@ -590,9 +590,9 @@ def q19_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
     The corpus is shingled ONCE (persisted) and feeds both the
     signature stage and the verify stage; the band self-join is
-    hot-bucket-guarded. Non-SQL-expressible at oracle cost (banding
-    over arrays) — rows-only driver check; correctness covered by
-    tests/test_operators.py."""
+    hot-bucket-guarded. Oracle: full DuckDB mirror of the
+    MinHash→band→bucket-join→Jaccard-verify pipeline (portable md5
+    double-hashing makes the signatures engine-independent)."""
     from pyspark import StorageLevel
 
     from chronominer_spark.operators.dedup import shingle_docs
@@ -897,11 +897,56 @@ SELECT doc_id, len(fps)::BIGINT AS n_fingerprints FROM p
 
 def q26_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH (scale
-    path; rows-only check, recall measured against q21 in tests)."""
+    path). Planes use the portable Rademacher-md5 scheme so the DuckDB
+    oracle reproduces the exact bucketing (recall vs exact top-k is
+    additionally measured against q21 in tests)."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
     dim = len(emb.select("embedding").first()["embedding"])
-    return lsh_topk(q, emb, k=3, dim=dim, n_bits=4, n_tables=8)
+    return lsh_topk(q, emb, k=3, dim=dim, n_bits=4, n_tables=8,
+                    plane_scheme="rademacher_md5")
+
+
+# Faithful mirror of q26: the Rademacher-md5 plane signs are re-derived
+# from DuckDB's md5() (same hex as Python hashlib), the bucketing and
+# candidate join replicate lsh_topk, and ranking is on round(cosine, 6)
+# exactly as the Spark side ranks. dim is pinned to 64 (every testdata
+# embeddings table is 64-wide; the Spark side reads it dynamically).
+# The hot-bucket cap (10k) is inert at oracle scale (corpus ≤ 2k rows)
+# and is deliberately not mirrored.
+_Q26_SQL = """
+WITH p AS (
+  SELECT t.range AS t, b.range AS b, d.range AS d,
+         CASE WHEN substr(md5(42 || ':' || t.range || ':' || b.range || ':' || d.range), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS s
+  FROM range(8) t, range(4) b, range(64) d),
+bits AS (
+  SELECT e.vec_id, p.t, p.b,
+         CASE WHEN sum(p.s * (e.embedding[p.d + 1])::DOUBLE) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM embeddings e CROSS JOIN p
+  GROUP BY e.vec_id, p.t, p.b),
+keys AS (
+  SELECT vec_id, t, 't' || t || ':' || string_agg(bit, '' ORDER BY b) AS bucket
+  FROM bits GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keys q JOIN keys c ON q.bucket = c.bucket
+  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
 
 
 def q27_range_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,6 +1192,96 @@ FROM anchors a LEFT JOIN (SELECT doc, line_no FROM ranked WHERE rn = 1) r
 """
 
 
+def q35_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH + exact
+    verify. The synthetic embeddings are random (max pairwise cosine
+    ~0.51), so near-dups are PLANTED deterministically: every 10th
+    vector gets a jittered copy (id + 1,000,000) that the detector must
+    pair with its original at cosine ≥ 0.99. Planes use the portable
+    Rademacher-md5 scheme so the DuckDB oracle mirrors the bucketing."""
+    from chronominer_spark.operators.similarity import embedding_near_dups
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # NOTE: the jitter must use the ORIGINAL id. With `(vec_id + 1e6)
+    # .alias("vec_id")` in the same select, Spark's lateral-column-alias
+    # resolution (3.4+) binds the lambda's `vec_id` to the NEW alias —
+    # silently jittering with the remapped id. Rename first.
+    planted = (
+        base.where(F.col("vec_id") % 10 == 0)
+        .select(F.col("vec_id").alias("orig_id"), "embedding")
+        .select(
+            (F.col("orig_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, d: x + F.lit(0.001)
+                * (F.pmod(F.col("orig_id") * 31 + d.cast("long"), F.lit(7)) - 3)
+                .cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.unionByName(planted)
+    return embedding_near_dups(
+        corpus, threshold=0.99, dim=64, n_tables=6, n_bits=10, seed=7,
+        plane_scheme="rademacher_md5",
+    ).orderBy("id_a")
+
+
+_Q35_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+  FROM embeddings),
+planted AS (
+  -- inner select keeps the ORIGINAL vec_id for the jitter arithmetic;
+  -- the id is remapped only in the outer projection (lateral-alias
+  -- shadowing would otherwise make `vec_id` ambiguous in one SELECT)
+  SELECT orig_id + 1000000 AS vec_id, jemb AS embedding
+  FROM (
+    SELECT vec_id AS orig_id,
+           list_transform(range(0, 64),
+             d -> embedding[d + 1]::DOUBLE
+                  + 0.001 * (((vec_id * 31 + d) % 7) - 3)::DOUBLE) AS jemb
+    FROM embeddings WHERE vec_id % 10 = 0)),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+p AS (
+  SELECT t.range AS t, b.range AS b, d.range AS d,
+         CASE WHEN substr(md5(7 || ':' || t.range || ':' || b.range || ':' || d.range), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS s
+  FROM range(6) t, range(10) b, range(64) d),
+bits AS (
+  SELECT e.vec_id, p.t, p.b,
+         CASE WHEN sum(p.s * e.embedding[p.d + 1]) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM corpus e CROSS JOIN p
+  GROUP BY e.vec_id, p.t, p.b),
+keys AS (
+  SELECT vec_id, t, 't' || t || ':' || string_agg(bit, '' ORDER BY b) AS bucket
+  FROM bits GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keys q JOIN keys c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x * x)))), 6) AS cosine
+  FROM cand JOIN corpus a ON a.vec_id = cand.query_id
+            JOIN corpus b ON b.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id AS id_a, neighbor_id AS id_b, cosine
+FROM ranked
+WHERE rank <= 50 AND cosine >= 0.99 AND query_id < neighbor_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -1182,6 +1317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_group_size_profile": q32_group_size_profile,
     "q33_token_budget_chunks": q33_token_budget_chunks,
     "q34_anchor_resolution": q34_anchor_resolution,
+    "q35_embedding_near_dups": q35_embedding_near_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -1210,14 +1346,15 @@ ORACLES: dict[str, str] = {
     "q23_language_id": _Q23_SQL,
     "q24_windowed_event_counts": _Q24_SQL,
     "q25_winnowing": _Q25_SQL,
+    "q26_lsh_ann_topk": _Q26_SQL,
     "q27_range_repair": _Q27_SQL,
     "q28_json_extract": _Q28_SQL,
     "q32_group_size_profile": _Q32_SQL,
     "q33_token_budget_chunks": _Q33_SQL,
     "q34_anchor_resolution": _Q34_SQL,
-    # q26/q29/q30/q31: rows-only — cross-engine float sign-bit equality
-    # (q26), approximate-by-design sketches (q29), per-block greedy
-    # assignment (q30), and driver-trained k-means (q31) have no faithful
-    # SQL mirror; correctness covered by in-repo tests (recall vs brute
-    # force, partial/final invariance, hand examples).
+    "q35_embedding_near_dups": _Q35_SQL,
+    # q29/q30/q31: rows-only — approximate-by-design sketches (q29),
+    # per-block greedy assignment (q30), and driver-trained k-means (q31)
+    # have no faithful SQL mirror; correctness covered by in-repo tests
+    # (recall vs brute force, partial/final invariance, hand examples).
 }
