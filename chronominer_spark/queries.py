@@ -1282,6 +1282,39 @@ WHERE rank <= 50 AND cosine >= 0.99 AND query_id < neighbor_id
 """
 
 
+def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing, end-to-end through the REAL
+    Arrow path: documents' text is encoded into an opaque binary payload
+    column (standing in for image/audio bytes), streamed through the
+    bounded ``mapInPandas`` feature extractor, and the per-payload
+    byte size + sha256 are verified cross-engine. The model-feature
+    vector itself is stub-derived (codec libs absent — see
+    operators/multimodal.py) and checked in pytest instead."""
+    from chronominer_spark.operators.multimodal import extract_features
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+    )
+    return extract_features(media, batch_rows=256).select(
+        "media_id", "kind", "byte_size", "payload_sha"
+    )
+
+
+_Q36_SQL = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+       octet_length(encode(coalesce(text, '')))::BIGINT AS byte_size,
+       sha256(coalesce(text, '')) AS payload_sha
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -1318,6 +1351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_token_budget_chunks": q33_token_budget_chunks,
     "q34_anchor_resolution": q34_anchor_resolution,
     "q35_embedding_near_dups": q35_embedding_near_dups,
+    "q36_multimodal_features": q36_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1353,6 +1387,7 @@ ORACLES: dict[str, str] = {
     "q33_token_budget_chunks": _Q33_SQL,
     "q34_anchor_resolution": _Q34_SQL,
     "q35_embedding_near_dups": _Q35_SQL,
+    "q36_multimodal_features": _Q36_SQL,
     # q29/q30/q31: rows-only — approximate-by-design sketches (q29),
     # per-block greedy assignment (q30), and driver-trained k-means (q31)
     # have no faithful SQL mirror; correctness covered by in-repo tests
