@@ -577,13 +577,6 @@ class SuiteEvaluator:
         map-side and shuffles only (key, winner) pairs — far cheaper at
         scale than a sort window over full rows."""
         keys = list(self.suite.key_cols)
-        # nulls-last ts ordering: null ts -> epoch 0, always loses
-        ord_key = F.struct(
-            F.coalesce(F.col("ts").cast("timestamp").cast("long"), F.lit(0))
-            .alias("ts_o"),
-            # bitwise NOT reverses the order without the -Long.MIN overflow
-            F.xxhash64(F.col(col)).bitwiseXOR(F.lit(-1)).alias("h_o"),
-        )
         # ship a 64-bit hash of the normalized text, not the text: the
         # equality join is the suite's only wide shuffle, and hashing
         # cuts its volume ~50x at transcript-scale text lengths. Null
@@ -593,22 +586,62 @@ class SuiteEvaluator:
         norm = normalize_text(F.col(col), **norm_opts)
         norm_h = F.when(norm.isNull(), F.lit(None).cast("long")) \
             .otherwise(F.xxhash64(norm))
-        payload_fields = [
+        # ONE struct: order key first, payload after — the winner is
+        # max(struct(...)), a native declarative aggregate that stays
+        # inside whole-stage codegen. (max_by is an ObjectHashAggregate
+        # and was measured ~4x slower on this 8M-key agg.) Lexicographic
+        # struct max realizes the same (ts desc, text-hash) total order;
+        # payload fields participate only on full order-key ties, where
+        # the tied text hash pins the same text and the remaining fields
+        # make the pick deterministic (max_by left it arbitrary).
+        fields = [
+            # nulls-last ts ordering: null ts -> epoch 0, always loses
+            F.coalesce(F.col("ts").cast("timestamp").cast("long"), F.lit(0))
+            .alias("__ts_o"),
+            # bitwise NOT reverses the order without the -Long.MIN overflow
+            F.xxhash64(F.col(col)).bitwiseXOR(F.lit(-1)).alias("__h_o"),
             norm_h.alias(f"{out_prefix}norm"),
             F.col("_pid").alias(f"{out_prefix}pid"),
         ]
         if keep_value:
-            payload_fields.append(self._sval(F.col(col)).alias(f"{out_prefix}val"))
-        payload = F.struct(*payload_fields)
+            fields.append(self._sval(F.col(col)).alias(f"{out_prefix}val"))
+        out = [f"__w.{out_prefix}norm", f"__w.{out_prefix}pid"]
+        if keep_value:
+            out.append(f"__w.{out_prefix}val")
         return (
             df.groupBy(*keys)
-            .agg(F.max_by(payload, ord_key).alias("__w"))
-            .select(*keys, "__w.*")
+            .agg(F.max(F.struct(*fields)).alias("__w"))
+            .select(*keys, *out)
         )
 
     def _text_equality(
         self, df: DataFrame, ref_df: DataFrame, c: Constraint
     ) -> tuple[DataFrame, DataFrame]:
+        """Per-turn text equality vs the reference snapshot.
+
+        Two physical strategies, identical outputs:
+
+        - ``digest=True`` (opt-in, for mostly-identical snapshots): after the
+          stable-winner dedup, each (conv, partition) group is reduced
+          to a 3-channel digest — turn count, ``bit_xor`` and a
+          mod-2^31 sum of ``xxhash64(turn_idx, text_hash)`` (both
+          order-independent and ANSI-overflow-free). The cur/ref join
+          then ships ~#convs digest rows instead of ~#turns hashed
+          rows, and only conversations whose digests differ (or that
+          span/shift partitions) drill down to the exact per-turn
+          full-outer join. On an 8M-turn suite this removed the
+          engine's dominant shuffle (the turn-level join was ~60% of
+          suite wall when diffs are rare). On the synthetic bench,
+          where ~15% of conversations carry planted diffs, the digest
+          prepass costs more than the join it avoids — hence opt-in.
+          False-accept probability per conversation pair
+          is ~2^-95 (64-bit xor channel × 31-bit sum channel) — the
+          same content-hash tradeoff as the equality hash itself,
+          documented in SURVEY §7.4's risk register.
+        - ``digest=False`` (default): the direct per-turn full-outer
+          join for every conversation (the drilldown plan applied
+          globally).
+        """
         p = c.params
         col = p["col"]
         keys = list(self.suite.key_cols)
@@ -618,42 +651,129 @@ class SuiteEvaluator:
         )
 
         ref = ref_df.withColumn("_pid", self._partition_id_col(ref_df))
-        cur_d = self._stable_winner(df, col, norm_opts, "_cur_", keep_value=True) \
-            .withColumnRenamed("_cur_pid", "_pid_cur") \
-            .withColumnRenamed("_cur_norm", "_cur_norm") \
-            .withColumnRenamed("_cur_val", "_cur_val")
-        ref_d = self._stable_winner(ref, col, norm_opts, "_ref_") \
-            .withColumnRenamed("_ref_pid", "_pid_ref")
-        joined = cur_d.join(ref_d, on=keys, how="full_outer").withColumn(
-            "_pid", F.coalesce("_pid_cur", "_pid_ref")
+
+        if not p.get("digest", False):
+            counts, vio = self._eq_turn_join(df, ref, keys, col, norm_opts, c)
+            return self._eq_finalize(counts, c), vio
+
+        conv = keys[0]
+        turn_keys = keys[1:]
+        # LIGHT winners (no raw values): the digest agg is their only
+        # consumer, and they are deliberately NOT persisted — an 8M-row
+        # winners frame carrying text values costs more to cache than to
+        # recompute (measured: persisting winners made the digest path
+        # slower than the join it replaces)
+        cur_l = self._stable_winner(df, col, norm_opts, "_cur_")
+        ref_l = self._stable_winner(ref, col, norm_opts, "_ref_")
+
+        def conv_digest(w: DataFrame, pfx: str) -> DataFrame:
+            th = F.xxhash64(*turn_keys, F.col(f"{pfx}norm"))
+            return (
+                w.groupBy(F.col(conv), F.col(f"{pfx}pid").alias("_pid"))
+                .agg(
+                    F.count(F.lit(1)).alias(f"{pfx}n"),
+                    F.bit_xor(th).alias(f"{pfx}x"),
+                    F.sum(F.pmod(th, F.lit(2 ** 31))).alias(f"{pfx}s"),
+                )
+            )
+
+        conv_j = self._share(
+            conv_digest(cur_l, "_cur_").join(
+                conv_digest(ref_l, "_ref_"), on=[conv, "_pid"],
+                how="full_outer",
+            )
+        )
+        ok = (
+            F.col("_cur_n").isNotNull() & F.col("_ref_n").isNotNull()
+            & (F.col("_cur_n") == F.col("_ref_n"))
+            & (F.col("_cur_x") == F.col("_ref_x"))
+            & (F.col("_cur_s") == F.col("_ref_s"))
+        )
+        # digest-equal groups contain the same turn multiset on both
+        # sides, so every key matches: count them without touching turns
+        ok_counts = (
+            conv_j.where(ok)
+            .groupBy("_pid")
+            .agg(F.sum("_cur_n").alias("rows_checked"),
+                 F.lit(0).cast("long").alias("violation_count"))
+        )
+        # every non-ok (conv, pid) group — digest mismatch, one-sided,
+        # or a conversation whose partition differs between sides —
+        # drills down to the exact per-turn plan over the SOURCE rows of
+        # just those groups (raw violation values are only ever read for
+        # differing conversations). Semi-join each side by its OWN
+        # (conv, pid) pairs: a key in an ok group is excluded from both
+        # sides (digest equality implies both its rows live in matched
+        # groups), so nothing is double-counted.
+        bad = self._share(conv_j.where(~ok).select(conv, "_pid"))
+        drill_cur = df.join(bad, on=[conv, "_pid"], how="left_semi")
+        drill_ref = ref.join(bad, on=[conv, "_pid"], how="left_semi")
+        drill_counts, vio = self._eq_turn_join(
+            drill_cur, drill_ref, keys, col, norm_opts, c
+        )
+        counts = ok_counts.unionByName(drill_counts).groupBy("_pid").agg(
+            F.sum("rows_checked").alias("rows_checked"),
+            F.sum("violation_count").alias("violation_count"),
+        )
+        return self._eq_finalize(counts, c), vio
+
+    def _eq_turn_join(
+        self, cur: DataFrame, ref: DataFrame, keys: list, col: str,
+        norm_opts: dict, c: Constraint,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Exact per-turn classification WITHOUT a join.
+
+        A full-outer join on a unique composite key is a cogroup, so it
+        collapses into ONE hash aggregate over the side-tagged union:
+        ``max(when(side, struct(order, payload)))`` picks each side's
+        stable winner (W1+W3) per key in the same pass that aligns the
+        sides. One 2n-row exchange replaces two n-row winner shuffles
+        plus an n×n join — this is the engine's widest operation, so
+        the collapse matters more than any other plan choice here.
+        Missing/extra/mismatch fall out of winner-struct nullness.
+        Returns (per-pid counts, violation rows)."""
+        sel = [*keys, "ts", col, "_pid"]
+        tagged = (
+            cur.select(*sel).withColumn("_is_cur", F.lit(True))
+            .unionByName(ref.select(*sel).withColumn("_is_cur", F.lit(False)))
+        )
+        # same total order + payload as _stable_winner (see there for the
+        # hashing / tie-break rationale)
+        norm = normalize_text(F.col(col), **norm_opts)
+        norm_h = F.when(norm.isNull(), F.lit(None).cast("long")) \
+            .otherwise(F.xxhash64(norm))
+        ts_o = F.coalesce(F.col("ts").cast("timestamp").cast("long"), F.lit(0))
+        h_o = F.xxhash64(F.col(col)).bitwiseXOR(F.lit(-1))
+        s_cur = F.struct(ts_o.alias("__ts_o"), h_o.alias("__h_o"),
+                         norm_h.alias("norm"), F.col("_pid").alias("pid"),
+                         self._sval(F.col(col)).alias("val"))
+        s_ref = F.struct(ts_o.alias("__ts_o"), h_o.alias("__h_o"),
+                         norm_h.alias("norm"), F.col("_pid").alias("pid"))
+        agg = tagged.groupBy(*keys).agg(
+            F.max(F.when(F.col("_is_cur"), s_cur)).alias("_cw"),
+            F.max(F.when(~F.col("_is_cur"), s_ref)).alias("_rw"),
         )
         status = (
-            F.when(F.col("_pid_cur").isNull(), F.lit("missing_in_current"))
-            .when(F.col("_pid_ref").isNull(), F.lit("extra_in_current"))
-            .when(F.col("_cur_norm").eqNullSafe(F.col("_ref_norm")), F.lit("match"))
+            F.when(F.col("_cw").isNull(), F.lit("missing_in_current"))
+            .when(F.col("_rw").isNull(), F.lit("extra_in_current"))
+            .when(F.col("_cw.norm").eqNullSafe(F.col("_rw.norm")), F.lit("match"))
             .otherwise(F.lit("mismatch"))
         )
         # persisted: both the per-partition agg and the violation rows read
-        # this; without it the dedup+join pipeline runs twice
-        classified = self._share(joined.withColumn("_status", status))
+        # this; without it the dedup+alignment pipeline runs twice
+        classified = self._share(
+            agg.select(
+                *keys,
+                F.coalesce("_cw.pid", "_rw.pid").alias("_pid"),
+                F.col("_cw.val").alias("_cur_val"),
+                status.alias("_status"),
+            )
+        )
 
-        res = (
-            classified.groupBy("_pid").agg(
-                F.count(F.lit(1)).alias("rows_checked"),
-                F.sum((F.col("_status") != "match").cast("long"))
-                .alias("violation_count"),
-            )
-            .select(
-                F.col("_pid").alias("partition_id"),
-                F.lit(c.constraint_id).alias("constraint_id"),
-                (F.col("violation_count") / F.col("rows_checked"))
-                .cast("double").alias("observed"),
-                F.lit(p.get("max_mismatch_rate", 0.0)).cast("double")
-                .alias("threshold"),
-                "rows_checked",
-                F.col("violation_count").cast("long").alias("violation_count"),
-            )
-            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        counts = classified.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("rows_checked"),
+            F.sum((F.col("_status") != "match").cast("long"))
+            .alias("violation_count"),
         )
         vio = (
             classified.where(F.col("_status") != "match")
@@ -666,7 +786,22 @@ class SuiteEvaluator:
                 F.col("_status").alias("detail"),
             )
         )
-        return res, vio
+        return counts, vio
+
+    def _eq_finalize(self, counts: DataFrame, c: Constraint) -> DataFrame:
+        return (
+            counts.select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                (F.col("violation_count") / F.col("rows_checked"))
+                .cast("double").alias("observed"),
+                F.lit(c.params.get("max_mismatch_rate", 0.0)).cast("double")
+                .alias("threshold"),
+                "rows_checked",
+                F.col("violation_count").cast("long").alias("violation_count"),
+            )
+            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        )
 
     # -- drift (PSI / KS over binned histograms) ------------------------------
     def _histogram(self, df: DataFrame, expr: F.Column, bins: int,

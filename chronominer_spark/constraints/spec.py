@@ -149,15 +149,26 @@ def text_equality(
     strip_punct: bool = False,
     strip_diacritics: bool = False,
     max_mismatch_rate: float = 0.0,
+    digest: bool = False,
 ) -> Constraint:
     """Per-turn text equality vs the reference snapshot under stable turn
     ordering (W1) — normalization knobs mirror the matching config at
-    ``/root/reference/modules/line_ranges/readjuster.py:260-273``."""
+    ``/root/reference/modules/line_ranges/readjuster.py:260-273``.
+
+    ``digest=True`` compares per-conversation 3-channel digests first
+    and drills down to the per-turn join only for conversations that
+    differ — identical outputs, ~#convs instead of ~#turns rows in the
+    equality join. Worth switching on when snapshots are mostly
+    identical (re-validation of a production table); measured SLOWER
+    than the direct join when diffs are dense (the synthetic suite
+    plants diffs in ~15% of conversations, making the digest prepass
+    pure overhead — see BENCH/BASELINE.md). ``digest=False`` (default)
+    is the direct per-turn join."""
     return Constraint(
         f"eq:{col}", "text_equality",
         {"col": col, "lowercase": lowercase, "collapse_ws": collapse_ws,
          "strip_punct": strip_punct, "strip_diacritics": strip_diacritics,
-         "max_mismatch_rate": max_mismatch_rate},
+         "max_mismatch_rate": max_mismatch_rate, "digest": digest},
     )
 
 

@@ -236,3 +236,70 @@ def test_salted_and_plain_aggregation_agree(spark, transcripts):
         return out
 
     assert run(True) == run(False)
+
+
+def test_digest_and_turn_join_equality_agree(spark, transcripts, ref_snapshot):
+    """The conv-digest fast path and the direct per-turn join must emit
+    identical results and violation rows — the digest only changes the
+    physics. The generated ref snapshot plants mismatches, added turns
+    (missing_in_current) and dropped turns (extra_in_current), so all
+    three violation classes cross the drilldown boundary."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, text_equality
+
+    def run(digest):
+        suite = ConstraintSuite(
+            name=f"eq_{digest}",
+            constraints=(text_equality("text", digest=digest),),
+        )
+        ev = SuiteEvaluator(spark, suite)
+        res, vio = ev.evaluate(transcripts, ref_snapshot, snapshot_id=1)
+        out = (
+            sorted(map(tuple, res.drop("suite_name").collect())),
+            sorted(map(tuple, vio.collect())),
+        )
+        ev.unpersist_all()
+        return out
+
+    d_res, d_vio = run(True)
+    t_res, t_vio = run(False)
+    assert len(d_vio) == len(t_vio) and d_vio == t_vio
+    assert d_res == t_res
+
+
+def test_digest_equality_conv_spanning_partitions(spark):
+    """A conversation whose rows shift partitions between cur and ref
+    must drill down (digest groups are (conv, pid)) and classify exactly
+    as the per-turn join does."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, text_equality
+
+    cur = spark.createDataFrame(
+        [("c1", 0, "a", "hello", "t0", 1), ("c1", 1, "a", "world", "t0", 1),
+         ("c2", 0, "a", "same", "t0", 2)],
+        "conv_id string, turn_idx int, role string, text string, tool string, pbucket int",
+    ).withColumn("ts", F.current_timestamp())
+    # c1 moved to pbucket 3 in ref, one text mutated; c2 untouched
+    ref = spark.createDataFrame(
+        [("c1", 0, "a", "hello", "t0", 3), ("c1", 1, "a", "CHANGED", "t0", 3),
+         ("c2", 0, "a", "same", "t0", 2)],
+        "conv_id string, turn_idx int, role string, text string, tool string, pbucket int",
+    ).withColumn("ts", F.current_timestamp())
+
+    def run(digest):
+        suite = ConstraintSuite(
+            name=f"span_{digest}",
+            constraints=(text_equality("text", digest=digest),),
+        )
+        ev = SuiteEvaluator(spark, suite)
+        res, vio = ev.evaluate(cur, ref, snapshot_id=1)
+        out = (sorted(map(tuple, res.drop("suite_name").collect())),
+               sorted(map(tuple, vio.collect())))
+        ev.unpersist_all()
+        return out
+
+    d, t = run(True), run(False)
+    assert d == t
+    # the mutated turn is a mismatch, counted once, in cur's partition
+    vio = d[1]
+    assert len(vio) == 1 and vio[0][3] == "c1" and vio[0][4] == 1
