@@ -12,13 +12,20 @@ Scale design (SURVEY.md §4, §7):
 - **Uniqueness** is a two-stage aggregation: stage 1 counts keys within
   each input partition (``spark_partition_id()`` as the salt), stage 2
   merges — the salted hash-aggregate the north rule requires; a hot
-  conv_id therefore never concentrates raw rows onto one reducer.
+  conv_id therefore never concentrates raw rows onto one reducer. When a
+  ``group_stats`` constraint's group column is covered by the unique key
+  set, the stage-2 counts frame is persisted ONCE and feeds uniqueness
+  stats, duplicate violations, rows_checked totals and group sizes —
+  suite-level scan sharing.
 - **Vocabulary RI** dims are tiny by definition -> fused ``isin``
   (Catalyst InSet) in the shared scan when declared inline, or a
   ``broadcast()`` + ``left_anti`` join when declared as a dim DataFrame.
 - **Equality/drift** need the reference snapshot; both shuffle only
-  aggregates or keys, never wide rows (drift ships bin counts; equality
-  joins on the key after window dedup).
+  aggregates, keys and 64-bit hashes, never wide rows: drift bins each
+  (expr, range) pair ONCE and derives PSI and KS from the same joined
+  histogram; equality collapses the full-outer key join into one hash
+  aggregate over a side-tagged union whose exchange is VALUE-FREE —
+  violation text is fetched afterwards for just the violating keys.
 
 All per-partition result frames are a few hundred rows; unioning them is
 driver-cheap regardless of input size. Nothing in this module collects
@@ -126,14 +133,47 @@ class SuiteEvaluator:
             if with_violations and row_checks:
                 violations.append(self._row_violations(df, row_checks))
 
-        for c in self.suite.constraints:
+        # suite-level scan sharing: a group_stats whose group column is
+        # covered by a unique constraint's key set derives its group
+        # sizes from that constraint's stage-2 key counts — the counts
+        # frame is materialized once and feeds uniqueness stats,
+        # duplicate violations, rows_checked totals AND group sizes
+        # (one scan + one shuffle for both families instead of two of
+        # each). On a cluster the persisted frame is the stage-2 output
+        # Spark materializes for the shuffle anyway; MEMORY_AND_DISK
+        # spills it rather than pinning executor memory.
+        shared_counts: dict[int, DataFrame] = {}   # unique idx -> counts
+        shared_sizes: dict[int, DataFrame] = {}    # group_stats idx -> sizes
+        cons = list(self.suite.constraints)
+        for i, c in enumerate(cons):
+            if c.kind != "unique":
+                continue
+            reusers = [
+                j for j, g in enumerate(cons)
+                if g.kind == "group_stats" and j not in shared_sizes
+                and g.params["group_col"] in c.params["cols"]
+            ]
+            if not reusers:
+                continue
+            counts = self._share(
+                self._key_counts(df, list(c.params["cols"]),
+                                 c.params.get("salted", True))
+            )
+            shared_counts[i] = counts
+            for j in reusers:
+                g = cons[j]
+                shared_sizes[j] = counts.groupBy(
+                    "_pid", g.params["group_col"]
+                ).agg(F.sum("dup_count").alias("group_rows"))
+
+        for i, c in enumerate(cons):
             if c.kind in ROW_LEVEL_KINDS and not self._fusable(c):
                 r, v = self._referential_join(df, c)
                 results.append(r)
                 if with_violations and v is not None:
                     violations.append(v)
             elif c.kind == "unique":
-                r, v = self._unique(df, c)
+                r, v = self._unique(df, c, counts=shared_counts.get(i))
                 results.append(r)
                 if with_violations:
                     violations.append(v)
@@ -145,14 +185,14 @@ class SuiteEvaluator:
                 if with_violations:
                     violations.append(v)
             elif c.kind == "group_stats":
-                r, v = self._group_stats(df, c)
+                r, v = self._group_stats(df, c, sizes=shared_sizes.get(i))
                 results.append(r)
                 if with_violations and v is not None:
                     violations.append(v)
-            elif c.kind in ("drift_psi", "drift_ks"):
-                if ref_df is None:
-                    continue
-                results.append(self._drift(df, ref_df, c))
+
+        drift_cs = [c for c in cons if c.kind in ("drift_psi", "drift_ks")]
+        if drift_cs and ref_df is not None:
+            results.extend(self._drift_family(df, ref_df, drift_cs))
 
         if not results:
             raise ValueError(
@@ -416,32 +456,53 @@ class SuiteEvaluator:
         return res, vio
 
     # -- uniqueness ----------------------------------------------------------
-    def _unique(self, df: DataFrame, c: Constraint) -> tuple[DataFrame, DataFrame]:
+    def _key_counts(
+        self, df: DataFrame, keys: list[str], salted: bool
+    ) -> DataFrame:
+        """Stage-2 per-key counts: (_pid, *keys, dup_count). ``salted``
+        runs the explicit two-stage plan (stage 1 partial-counts per
+        input split so a hot key combines locally before the shuffle);
+        plain mode relies on Spark's map-side partial agg for the same
+        local combining with one fewer exchange (A/B in
+        BENCH/BASELINE.md)."""
+        if salted:
+            stage1 = (
+                df.groupBy("_pid", *keys, F.spark_partition_id().alias("_salt"))
+                .agg(F.count(F.lit(1)).alias("_partial"))
+            )
+            return (
+                stage1.groupBy("_pid", *keys)
+                .agg(F.sum("_partial").alias("dup_count"))
+            )
+        return df.groupBy("_pid", *keys).agg(
+            F.count(F.lit(1)).alias("dup_count")
+        )
+
+    def _unique(
+        self, df: DataFrame, c: Constraint, counts: DataFrame | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
         """Two-stage salted hash-aggregate (north rule). Stage 1 groups by
         (key, input-partition) so a hot key's rows combine locally before
         the shuffle; stage 2 merges the partial counts. Physically this is
         the partial/final split Spark's hash aggregate performs — made
         explicit here so the skew posture is visible and testable.
-        ``salted=False`` collapses the two stages into one group-count
-        (Spark's map-side partial agg does the same local combining with
-        one fewer exchange; A/B in BENCH/BASELINE.md)."""
+
+        ``counts``: an already-persisted stage-2 frame from
+        :meth:`_key_counts` (suite-level scan sharing with group_stats);
+        when supplied, rows_checked derives from it too — zero extra
+        scans of the source."""
         keys = c.params["cols"]
-        if c.params.get("salted", True):
-            stage1 = (
-                df.groupBy("_pid", *keys, F.spark_partition_id().alias("_salt"))
-                .agg(F.count(F.lit(1)).alias("_partial"))
-            )
-            counts = (
-                stage1.groupBy("_pid", *keys)
-                .agg(F.sum("_partial").alias("dup_count"))
+        if counts is not None:
+            dups = counts.where(F.col("dup_count") > 1)
+            totals = counts.groupBy("_pid").agg(
+                F.sum("dup_count").alias("rows_checked")
             )
         else:
-            counts = df.groupBy("_pid", *keys).agg(
-                F.count(F.lit(1)).alias("dup_count")
+            counts = self._key_counts(df, keys, c.params.get("salted", True))
+            dups = self._share(counts.where(F.col("dup_count") > 1))
+            totals = df.groupBy("_pid").agg(
+                F.count(F.lit(1)).alias("rows_checked")
             )
-        dups = self._share(counts.where(F.col("dup_count") > 1))
-
-        totals = df.groupBy("_pid").agg(F.count(F.lit(1)).alias("rows_checked"))
         agg = dups.groupBy("_pid").agg(
             F.sum(F.col("dup_count") - 1).alias("violation_count")
         )
@@ -475,7 +536,7 @@ class SuiteEvaluator:
 
     # -- per-group (per-conversation) stats -----------------------------------
     def _group_stats(
-        self, df: DataFrame, c: Constraint
+        self, df: DataFrame, c: Constraint, sizes: DataFrame | None = None,
     ) -> tuple[DataFrame, DataFrame | None]:
         """Per-group size statistics with explicit two-stage salted
         aggregation — the north rule's skew case: a single hot conv_id
@@ -485,23 +546,30 @@ class SuiteEvaluator:
         split — bounded by splits, not by the group's row count);
         stage 3 reduces group sizes to per-partition stats (tiny).
 
+        ``sizes``: a precomputed (_pid, group_col, group_rows) frame
+        derived from a unique constraint's shared key counts (suite-level
+        scan sharing — evaluate() wires it when the group column is a
+        subset of a unique key set); identical results, one fewer scan.
+
         Violations: groups whose size exceeds ``max_group_rows``."""
         p = c.params
         group_col = p["group_col"]
         max_rows = p.get("max_group_rows")
 
-        if p.get("salted", True):
-            stage1 = (
-                df.groupBy("_pid", group_col, F.spark_partition_id().alias("_salt"))
-                .agg(F.count(F.lit(1)).alias("_partial"))
-            )
-            sizes = stage1.groupBy("_pid", group_col).agg(
-                F.sum("_partial").alias("group_rows")
-            )
-        else:
-            sizes = df.groupBy("_pid", group_col).agg(
-                F.count(F.lit(1)).alias("group_rows")
-            )
+        if sizes is None:
+            if p.get("salted", True):
+                stage1 = (
+                    df.groupBy("_pid", group_col,
+                               F.spark_partition_id().alias("_salt"))
+                    .agg(F.count(F.lit(1)).alias("_partial"))
+                )
+                sizes = stage1.groupBy("_pid", group_col).agg(
+                    F.sum("_partial").alias("group_rows")
+                )
+            else:
+                sizes = df.groupBy("_pid", group_col).agg(
+                    F.count(F.lit(1)).alias("group_rows")
+                )
         base = sizes.groupBy("_pid").agg(
             F.count(F.lit(1)).alias("n_groups"),
             F.min("group_rows").cast("double").alias("min"),
@@ -689,25 +757,35 @@ class SuiteEvaluator:
             & (F.col("_cur_x") == F.col("_ref_x"))
             & (F.col("_cur_s") == F.col("_ref_s"))
         )
-        # digest-equal groups contain the same turn multiset on both
-        # sides, so every key matches: count them without touching turns
+        # every conversation owning a non-ok (conv, pid) group — digest
+        # mismatch, one-sided, or a partition shift between sides —
+        # drills down to the exact per-turn plan over ALL of that
+        # conversation's SOURCE rows (raw violation values are only ever
+        # read for differing conversations). The drill key is the conv
+        # alone, NOT (conv, pid): winners are picked per (conv, turn)
+        # across partitions, so a stale duplicate of a turn can sit in a
+        # bad partition while its winner's group is ok — a (conv, pid)
+        # semi-join would re-derive the winner from the loser row alone
+        # and double-count the turn (see test_digest_equality_stale_
+        # duplicate_in_other_partition). Drilling the whole conversation
+        # recomputes all of its groups exactly; its ok groups are
+        # excluded from ok_counts below so nothing is counted twice.
+        bad_convs = self._share(conv_j.where(~ok).select(conv).distinct())
+        # digest-equal groups of non-drilled conversations contain the
+        # same turn-winner multiset on both sides, so every key matches:
+        # count them without touching turns. Groups of a drilled
+        # conversation are excluded even when individually ok — the
+        # drill recomputes the whole conversation and replaces their
+        # contribution (counting both would double-count turns).
         ok_counts = (
             conv_j.where(ok)
+            .join(bad_convs, on=[conv], how="left_anti")
             .groupBy("_pid")
             .agg(F.sum("_cur_n").alias("rows_checked"),
                  F.lit(0).cast("long").alias("violation_count"))
         )
-        # every non-ok (conv, pid) group — digest mismatch, one-sided,
-        # or a conversation whose partition differs between sides —
-        # drills down to the exact per-turn plan over the SOURCE rows of
-        # just those groups (raw violation values are only ever read for
-        # differing conversations). Semi-join each side by its OWN
-        # (conv, pid) pairs: a key in an ok group is excluded from both
-        # sides (digest equality implies both its rows live in matched
-        # groups), so nothing is double-counted.
-        bad = self._share(conv_j.where(~ok).select(conv, "_pid"))
-        drill_cur = df.join(bad, on=[conv, "_pid"], how="left_semi")
-        drill_ref = ref.join(bad, on=[conv, "_pid"], how="left_semi")
+        drill_cur = df.join(bad_convs, on=[conv], how="left_semi")
+        drill_ref = ref.join(bad_convs, on=[conv], how="left_semi")
         drill_counts, vio = self._eq_turn_join(
             drill_cur, drill_ref, keys, col, norm_opts, c
         )
@@ -731,6 +809,14 @@ class SuiteEvaluator:
         plus an n×n join — this is the engine's widest operation, so
         the collapse matters more than any other plan choice here.
         Missing/extra/mismatch fall out of winner-struct nullness.
+
+        The exchange is VALUE-FREE: only keys + 64-bit hashes + the
+        partition id ride the side-tagged union. Violation values (the
+        truncated current text) are fetched afterwards by semi-joining
+        the source against the violating key set — a bounded frame
+        (violations are the rare case by contract), so the fetch reads
+        the text column once for ~0.1% of keys instead of shipping 256
+        chars per row through the engine's widest shuffle.
         Returns (per-pid counts, violation rows)."""
         sel = [*keys, "ts", col, "_pid"]
         tagged = (
@@ -745,8 +831,7 @@ class SuiteEvaluator:
         ts_o = F.coalesce(F.col("ts").cast("timestamp").cast("long"), F.lit(0))
         h_o = F.xxhash64(F.col(col)).bitwiseXOR(F.lit(-1))
         s_cur = F.struct(ts_o.alias("__ts_o"), h_o.alias("__h_o"),
-                         norm_h.alias("norm"), F.col("_pid").alias("pid"),
-                         self._sval(F.col(col)).alias("val"))
+                         norm_h.alias("norm"), F.col("_pid").alias("pid"))
         s_ref = F.struct(ts_o.alias("__ts_o"), h_o.alias("__h_o"),
                          norm_h.alias("norm"), F.col("_pid").alias("pid"))
         agg = tagged.groupBy(*keys).agg(
@@ -765,7 +850,6 @@ class SuiteEvaluator:
             agg.select(
                 *keys,
                 F.coalesce("_cw.pid", "_rw.pid").alias("_pid"),
-                F.col("_cw.val").alias("_cur_val"),
                 status.alias("_status"),
             )
         )
@@ -775,8 +859,26 @@ class SuiteEvaluator:
             F.sum((F.col("_status") != "match").cast("long"))
             .alias("violation_count"),
         )
+        bad_keys = classified.where(F.col("_status") != "match")
+        # post-fetch of violation values: re-derive the current winner's
+        # truncated text for just the violating keys. The winner pick
+        # uses the same (ts desc, raw-hash) total order, so on any tie
+        # the tied raw hash pins the same text — the fetched value is
+        # the value the in-exchange struct would have carried.
+        # missing_in_current keys have no cur rows -> left join -> null,
+        # matching the old _cw.val nullness.
+        cur_vals = (
+            cur.select(*keys, "ts", col)
+            .join(bad_keys.select(*keys), on=keys, how="left_semi")
+            .groupBy(*keys)
+            .agg(F.max(F.struct(
+                ts_o.alias("__ts_o"), h_o.alias("__h_o"),
+                self._sval(F.col(col)).alias("val"),
+            )).alias("__w"))
+            .select(*keys, F.col("__w.val").alias("_cur_val"))
+        )
         vio = (
-            classified.where(F.col("_status") != "match")
+            bad_keys.join(cur_vals, on=keys, how="left")
             .select(
                 F.col("_pid").alias("partition_id"),
                 F.lit(c.constraint_id).alias("constraint_id"),
@@ -819,29 +921,48 @@ class SuiteEvaluator:
             F.count(F.lit(1)).alias(cnt_name)
         )
 
-    def _drift(self, df: DataFrame, ref_df: DataFrame, c: Constraint) -> DataFrame:
+    def _drift_family(
+        self, df: DataFrame, ref_df: DataFrame, constraints: list[Constraint],
+    ) -> list[DataFrame]:
         """PSI / KS between current and reference per partition. Only bin
         counts are shuffled (bins × partitions rows), never raw data —
-        the same partial/final discipline as A3."""
-        p = c.params
-        expr = F.expr(p["expr"])
-        bins, lo, hi = p["bins"], p["lo"], p["hi"]
-        eps = 1e-9
+        the same partial/final discipline as A3.
 
+        Constraints sharing the same (expr, bins, lo, hi) — the common
+        "PSI and KS on the same column" suite shape — bin the inputs
+        ONCE: the joined probability frame is persisted (it is tiny:
+        bins × partitions rows) and both statistics derive from it, so
+        the 2×n-row histogram scans run once instead of per-constraint."""
         ref = ref_df.withColumn("_pid", self._partition_id_col(ref_df))
-        h_cur = self._histogram(df, expr, bins, lo, hi, "n_cur")
-        h_ref = self._histogram(ref, expr, bins, lo, hi, "n_ref")
-        joined = (
-            h_cur.join(h_ref, ["_pid", "bin"], "full_outer")
-            .fillna(0, ["n_cur", "n_ref"])
-        )
-        wp = W.partitionBy("_pid")
-        probs = joined.withColumn(
-            "p", F.col("n_cur") / F.sum("n_cur").over(wp)
-        ).withColumn(
-            "q", F.col("n_ref") / F.sum("n_ref").over(wp)
-        )
+        groups: dict[tuple, list[Constraint]] = {}
+        for c in constraints:
+            p = c.params
+            groups.setdefault(
+                (p["expr"], p["bins"], p["lo"], p["hi"]), []
+            ).append(c)
 
+        out: list[DataFrame] = []
+        for (expr_s, bins, lo, hi), cs in groups.items():
+            expr = F.expr(expr_s)
+            h_cur = self._histogram(df, expr, bins, lo, hi, "n_cur")
+            h_ref = self._histogram(ref, expr, bins, lo, hi, "n_ref")
+            joined = (
+                h_cur.join(h_ref, ["_pid", "bin"], "full_outer")
+                .fillna(0, ["n_cur", "n_ref"])
+            )
+            wp = W.partitionBy("_pid")
+            probs = joined.withColumn(
+                "p", F.col("n_cur") / F.sum("n_cur").over(wp)
+            ).withColumn(
+                "q", F.col("n_ref") / F.sum("n_ref").over(wp)
+            )
+            if len(cs) > 1:
+                probs = self._share(probs)
+            out.extend(self._drift_stat(probs, c) for c in cs)
+        return out
+
+    def _drift_stat(self, probs: DataFrame, c: Constraint) -> DataFrame:
+        eps = 1e-9
         if c.kind == "drift_psi":
             contrib = (F.col("p") - F.col("q")) * F.log(
                 (F.col("p") + eps) / (F.col("q") + eps)
@@ -860,7 +981,7 @@ class SuiteEvaluator:
                 F.sum("n_cur").alias("rows_checked"),
             )
 
-        thr = p["threshold"]
+        thr = c.params["threshold"]
         return stat.select(
             F.col("_pid").alias("partition_id"),
             F.lit(c.constraint_id).alias("constraint_id"),

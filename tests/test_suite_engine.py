@@ -303,3 +303,59 @@ def test_digest_equality_conv_spanning_partitions(spark):
     # the mutated turn is a mismatch, counted once, in cur's partition
     vio = d[1]
     assert len(vio) == 1 and vio[0][3] == "c1" and vio[0][4] == 1
+
+
+def test_digest_equality_stale_duplicate_in_other_partition(spark):
+    """Regression (round-3 advice): a turn whose stable winner lives in
+    an ok (conv, pid) group while a stale duplicate of it physically
+    sits in a bad partition. Drilling by (conv, pid) would re-derive the
+    winner from the loser row alone -> spurious extra_in_current +
+    double-counted rows_checked. The drill must select whole
+    conversations and replace their ok-group contributions."""
+    from datetime import datetime
+
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, text_equality
+
+    ts1 = datetime(2024, 1, 1, 0, 0, 0)
+    ts2 = datetime(2024, 1, 2, 0, 0, 0)
+    # c1 turn 0: winner (ts2) in pbucket 1, stale duplicate (ts1) in
+    # pbucket 2; turn 1 lives in pbucket 2 and mismatches the ref so
+    # (c1, p2) is a bad group while (c1, p1) digests ok.
+    cur = spark.createDataFrame(
+        [("c1", 0, "a", "hello", "t0", 1, ts2),
+         ("c1", 0, "a", "hello", "t0", 2, ts1),
+         ("c1", 1, "a", "world", "t0", 2, ts2),
+         ("c2", 0, "a", "same", "t0", 3, ts2)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, pbucket int, ts timestamp",
+    )
+    ref = spark.createDataFrame(
+        [("c1", 0, "a", "hello", "t0", 1, ts2),
+         ("c1", 1, "a", "CHANGED", "t0", 2, ts2),
+         ("c2", 0, "a", "same", "t0", 3, ts2)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, pbucket int, ts timestamp",
+    )
+
+    def run(digest):
+        suite = ConstraintSuite(
+            name=f"stale_{digest}",
+            constraints=(text_equality("text", digest=digest),),
+        )
+        ev = SuiteEvaluator(spark, suite)
+        res, vio = ev.evaluate(cur, ref, snapshot_id=1)
+        out = (sorted(map(tuple, res.collect())),
+               sorted(map(tuple, vio.collect())))
+        ev.unpersist_all()
+        return out
+
+    d, t = run(True), run(False)
+    assert d == t
+    # exactly one violation: the turn-1 mismatch; turn 0 matches (its
+    # winner is identical on both sides) and is counted exactly once
+    vio = d[1]
+    assert len(vio) == 1 and vio[0][3] == "c1" and vio[0][4] == 1
+    assert vio[0][7] == "mismatch"
+    total_checked = sum(r[6] for r in d[0])
+    assert total_checked == 3  # 3 distinct (conv, turn) keys, no double count
