@@ -8,7 +8,12 @@ chunk-slice semantics:
 - :func:`trim_overlaps`     W4 predecessor-overlap removal via ``lag``
   (``modules/line_ranges/readjuster.py:1642-1747``): when the previous
   range's end reaches into the current one, the current start shifts
-  past it (stable order by (start, original index))
+  past it (stable order by (start, original index)) — one window pass,
+  exact for non-degenerate inputs
+- :func:`remove_overlaps_exact`  W4 exact iterative variant of the same
+  reference loop (trims the previous end AND shifts the current start,
+  clamping inversions) — ``applyInPandas`` per doc; matches the
+  reference bit-for-bit including fully-contained ranges
 - :func:`enforce_max_gap`   W5 extend a range toward its successor when
   the gap exceeds a maximum (``readjuster.py:1749-1804``)
 - :func:`slice_chunks`      L1 first_n / last_n / index-range slicing
@@ -41,10 +46,19 @@ def trim_overlaps(
     stable order by (start, order_col)). One lag pass resolves chains
     because the shifted start never moves left: after the shift,
     ``start' = max(start, prev_end + 1)`` where prev_end is the raw
-    predecessor end — matching the reference's per-document sequential
-    trim for non-degenerate inputs; fully-contained ranges degenerate to
-    empty (start' > end) and are dropped with ``dropped=true`` semantics
-    available via :func:`sanitize_ranges` on the output."""
+    predecessor end. Output is overlap-free with stable ordering —
+    the reference loop's postcondition — but the boundary PRESERVED
+    differs: this plan keeps predecessor content intact and shifts the
+    current start, while the reference trims the PREDECESSOR's end to
+    preserve the current range's start boundary
+    (``readjuster.py:1642-1747`` — "preserves the semantic start
+    boundaries identified by the LLM"). The two agree exactly only on
+    already-disjoint inputs; fully-contained ranges additionally
+    degenerate to empty here (start' > end; droppable via
+    :func:`sanitize_ranges`) where the reference clamps them to
+    single-line ranges. For bit-exact reference parity use
+    :func:`remove_overlaps_exact`; keep this plan when predecessor
+    content must win and a pure window pipeline (no Python) matters."""
     order = [F.col(start).asc()]
     if order_col:
         order.append(F.col(order_col).asc())
@@ -63,6 +77,63 @@ def trim_overlaps(
         .withColumn(start, F.col("_new_start"))
         .drop("_new_start")
     )
+
+
+def remove_overlaps_exact(
+    df: DataFrame, key: str, start: str = "start", end: str = "end",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Exact re-expression of the reference's iterative overlap removal
+    (``/root/reference/modules/line_ranges/readjuster.py:1642-1747``),
+    which — unlike :func:`trim_overlaps` — trims the PREVIOUS range's
+    end before shifting the current start, and clamps inversions to
+    single-line ranges instead of letting them degenerate:
+
+    per key, in (start, order_col) order::
+
+        if cur.start > cur.end:        cur.end = cur.start        # clamp
+        if prev.end >= cur.start:
+            prev.end = min(prev.end, max(prev.start, cur.start-1)) # trim prev
+        if prev.end >= cur.start:      cur.start = prev.end + 1    # shift cur
+        if cur.start > cur.end:        cur.end = cur.start         # clamp
+
+    Each entry's end is only ever modified by its immediate successor,
+    so the sequential loop is the whole fixpoint. On non-degenerate
+    inputs (no fully-contained ranges, no inversions) the output equals
+    :func:`trim_overlaps`; on degenerate inputs the one-pass plan drops
+    swallowed ranges to empty while this operator keeps them as
+    clamped single-line ranges with the predecessor trimmed — the
+    reference behavior a user replaying hand-edited line-range files
+    depends on (divergence pinned in tests/test_fuzzy_ranges_tdigest).
+
+    Plan: ``applyInPandas`` per key — the recurrence is carry-dependent
+    in both directions (successor mutates predecessor), so it cannot be
+    one window pass; groups are single documents' range lists (bounded
+    small), the shuffle is one groupBy(key), and the loop is O(ranges)
+    per doc."""
+    order_cols = [start] + ([order_col] if order_col else [])
+    s_name, e_name = start, end
+
+    def fix(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        s = pdf[s_name].to_numpy().copy()
+        e = pdf[e_name].to_numpy().copy()
+        for i in range(len(s)):
+            if s[i] > e[i]:
+                e[i] = s[i]
+            if i > 0:
+                if e[i - 1] >= s[i]:
+                    e[i - 1] = min(e[i - 1], max(s[i - 1], s[i] - 1))
+                if e[i - 1] >= s[i]:
+                    s[i] = e[i - 1] + 1
+                if s[i] > e[i]:
+                    e[i] = s[i]
+        out = pdf.copy()
+        out[s_name] = s
+        out[e_name] = e
+        return out
+
+    return df.groupBy(key).applyInPandas(fix, schema=df.schema)
 
 
 def enforce_max_gap(

@@ -1006,14 +1006,53 @@ SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
 """
 
 
+_Q29_QS = [0.5, 0.9, 0.99]
+_Q29_REL_BOUND = 0.05
+
+
 def q29_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-digest quantile sketches (pandas/Arrow UDAF, partial+final
-    merge). Approximate by design — rows-only driver check; accuracy and
-    partitioning-invariance asserted in tests."""
+    merge). The sketch is approximate by design, so its raw value has no
+    SQL mirror — instead the query emits a CHECKABLE CONTRACT: the exact
+    per-group quantile (computable identically in both engines) plus a
+    bounded-error verdict ``within_bound`` = |sketch − exact| / max(|exact|, 1)
+    ≤ 5%. The oracle asserts the verdict TRUE for every row, so a sketch
+    drifting out of its error envelope turns the driver row red. Tighter
+    accuracy + partial/final merge invariance stay pytest-asserted."""
     from chronominer_spark.constraints.tdigest import tdigest_quantiles
 
     e = t(spark, sf_dir, "events")
-    return tdigest_quantiles(e, "event_type", "value", [0.5, 0.9, 0.99])
+    td = tdigest_quantiles(e, "event_type", "value", _Q29_QS)
+    exact = (
+        e.groupBy(F.col("event_type").alias("part"))
+        .agg(F.percentile("value", _Q29_QS).alias("__ps"))
+        .select(
+            "part",
+            F.explode(F.arrays_zip(
+                F.array(*[F.lit(q) for q in _Q29_QS]).alias("q"),
+                F.col("__ps").alias("exact"),
+            )).alias("z"),
+        )
+        .select("part", F.col("z.q").alias("q"), F.col("z.exact").alias("exact"))
+    )
+    return (
+        td.join(exact, ["part", "q"])
+        .select(
+            "part", "q",
+            F.round("exact", 4).alias("exact_value"),
+            ((F.abs(F.col("value") - F.col("exact"))
+              / F.greatest(F.abs(F.col("exact")), F.lit(1.0)))
+             <= _Q29_REL_BOUND).alias("within_bound"),
+        )
+    )
+
+
+_Q29_SQL = "\nUNION ALL\n".join(
+    f"SELECT event_type AS part, {q}::DOUBLE AS q,"
+    f" round(quantile_cont(value, {q}), 4) AS exact_value,"
+    f" TRUE AS within_bound FROM events GROUP BY event_type"
+    for q in _Q29_QS
+)
 
 
 def q30_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,6 +1354,73 @@ FROM documents
 """
 
 
+def q37_overlap_removal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 exact iterative overlap removal (the reference's trim-prev +
+    shift-cur + clamp loop, ``readjuster.py:1642-1747``) over ranges
+    with PLANTED degeneracies: every 9th range is a long swallower that
+    fully contains successors, every 13th is inverted (start > end) —
+    exactly the inputs where the one-pass q27 plan and the reference
+    diverge. Oracle: recursive CTE carrying (prev_start, prev_end)
+    through the same recurrence."""
+    from chronominer_spark.operators.ranges import remove_overlaps_exact
+
+    e = t(spark, sf_dir, "events")
+    ranges = e.select(
+        (F.col("user_id") % 20).cast("long").alias("doc"),
+        F.col("event_id"),
+        ((F.col("event_id") % 50) + 1).cast("long").alias("start"),
+    ).withColumn(
+        "end",
+        F.when(F.col("event_id") % 9 == 0, F.col("start") + 45)
+        .when(F.col("event_id") % 13 == 0, F.col("start") - 3)
+        .otherwise(F.col("start") + (F.col("event_id") % 7))
+        .cast("long"),
+    )
+    out = remove_overlaps_exact(ranges, "doc", order_col="event_id")
+    return out.select("doc", "event_id", "start", "end")
+
+
+# Recurrence per sorted row (see remove_overlaps_exact): each entry's
+# end is only modified by its immediate successor, so the walk carries
+# (s, e_pre) and emits the predecessor's final end (pfe) at each step;
+# a final self-join by rn+1 stitches each row to the end its successor
+# assigned it. Lateral aliases in the recursive branch carry UNIQUE
+# names (pfe_nxt/s_nxt): DuckDB resolves a bare name to an in-scope
+# table column (walk w has pfe/s/e_pre!) before a lateral alias, so
+# reusing the base-branch names would silently read the previous row.
+_Q37_SQL = """
+WITH RECURSIVE ranges AS (
+  SELECT (user_id % 20)::BIGINT AS doc, event_id,
+         ((event_id % 50) + 1)::BIGINT AS s0,
+         (CASE WHEN event_id % 9 = 0 THEN (event_id % 50) + 1 + 45
+               WHEN event_id % 13 = 0 THEN (event_id % 50) + 1 - 3
+               ELSE (event_id % 50) + 1 + (event_id % 7) END)::BIGINT AS e0
+  FROM events),
+ordered AS (
+  SELECT doc, event_id, s0, e0,
+         (row_number() OVER (PARTITION BY doc ORDER BY s0, event_id))::BIGINT AS rn
+  FROM ranges),
+walk AS (
+  SELECT doc, rn, event_id,
+         NULL::BIGINT AS pfe,
+         s0 AS s,
+         greatest(s0, e0) AS e_pre
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc, o.rn, o.event_id,
+         CASE WHEN w.e_pre >= o.s0
+              THEN least(w.e_pre, greatest(w.s, o.s0 - 1))
+              ELSE w.e_pre END AS pfe_nxt,
+         CASE WHEN pfe_nxt >= o.s0 THEN pfe_nxt + 1 ELSE o.s0 END AS s_nxt,
+         greatest(s_nxt, greatest(o.s0, o.e0)) AS e_pre_nxt
+  FROM walk w JOIN ordered o ON o.doc = w.doc AND o.rn = w.rn + 1)
+SELECT w.doc, w.event_id, w.s AS start,
+       coalesce(w2.pfe, w.e_pre) AS "end"
+FROM walk w
+LEFT JOIN walk w2 ON w2.doc = w.doc AND w2.rn = w.rn + 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -1352,6 +1458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_anchor_resolution": q34_anchor_resolution,
     "q35_embedding_near_dups": q35_embedding_near_dups,
     "q36_multimodal_features": q36_multimodal_features,
+    "q37_overlap_removal_exact": q37_overlap_removal_exact,
 }
 
 ORACLES: dict[str, str] = {
@@ -1388,8 +1495,12 @@ ORACLES: dict[str, str] = {
     "q34_anchor_resolution": _Q34_SQL,
     "q35_embedding_near_dups": _Q35_SQL,
     "q36_multimodal_features": _Q36_SQL,
-    # q29/q30/q31: rows-only — approximate-by-design sketches (q29),
-    # per-block greedy assignment (q30), and driver-trained k-means (q31)
-    # have no faithful SQL mirror; correctness covered by in-repo tests
-    # (recall vs brute force, partial/final invariance, hand examples).
+    "q29_tdigest_quantiles": _Q29_SQL,
+    "q37_overlap_removal_exact": _Q37_SQL,
+    # q30/q31: rows-only — per-block greedy assignment (q30) and
+    # driver-trained k-means (q31) have no faithful SQL mirror;
+    # correctness covered by in-repo tests (recall vs brute force, hand
+    # examples). q29's sketch VALUE is likewise unmirrorable, but its
+    # bounded-error verdict against the exact quantile is — so q29 now
+    # carries that checkable contract as its oracle.
 }

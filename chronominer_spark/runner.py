@@ -218,22 +218,26 @@ class SuiteRunner:
         df = self.spark.read.parquet(self.results_path)
         return df.where(F.col("run_id") == run_only) if run_only else df
 
-    def violations(self) -> DataFrame:
-        return self.spark.read.parquet(self.violations_path).where(
+    def violations(self, run_only: str | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self.violations_path).where(
             F.col("constraint_id") != self.VIOLATION_SENTINEL
         )
+        return df.where(F.col("run_id") == run_only) if run_only else df
 
     def export(
         self, path: str, fmt: str = "csv", run_only: str | None = None,
         bom: bool = False,
     ) -> None:
         """Materialize results + violations as typed CSV or JSONL under
-        ``path`` (S6 sinks: nullable-int repair, empty-cell nulls)."""
+        ``path`` (S6 sinks: nullable-int repair, empty-cell nulls).
+        ``run_only`` scopes BOTH datasets to one run — otherwise an
+        export could pair one run's results with violation rows left by
+        whichever runs last wrote each partition."""
         from chronominer_spark.sources.sinks import write_csv, write_jsonl
 
         import os as _os
         res = self.results(run_only=run_only)
-        vio = self.violations()
+        vio = self.violations(run_only=run_only)
         if fmt == "csv":
             write_csv(res, _os.path.join(path, "results"), bom=bom)
             write_csv(vio, _os.path.join(path, "violations"), bom=bom)

@@ -120,3 +120,65 @@ def test_token_budget_chunks_parallelism_invariant(spark):
     a = token_budget_chunks(df.repartition(1), "doc", "ln", "tok", 75)
     b = token_budget_chunks(df.repartition(32), "doc", "ln", "tok", 75)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _golden_pairs():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "tiktoken_golden_cl100k.json")
+    with open(path) as f:
+        return json.load(f)["pairs"]
+
+
+def test_regex_proxy_deviation_vs_tiktoken_golden(spark):
+    """Quantify the F8 regex proxy against vendored cl100k_base golden
+    counts (tools/gen_tiktoken_golden.py regenerates them wherever
+    tiktoken exists). The proxy is EXACT on plain word/punctuation text
+    and deviates in three known ways: digit runs (tiktoken chunks 3
+    digits/token, the proxy counts one run), whitespace-only strings
+    (proxy 0), and contractions (proxy splits the apostrophe). The
+    envelope asserts per-pair |proxy - golden| <= max(1, golden) and an
+    aggregate mean ratio in [0.8, 1.1] — tight enough that a proxy
+    regression (pattern edit) fails loudly."""
+    from chronominer_spark.operators.textstats import token_count
+
+    pairs = _golden_pairs()
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(pairs)], "i long, text string"
+    )
+    got = {r["i"]: r["n"] for r in
+           df.select("i", token_count("text").alias("n")).collect()}
+    ratios = []
+    for i, (text, golden) in enumerate(pairs):
+        proxy = got[i]
+        assert abs(proxy - golden) <= max(1, golden), (text, proxy, golden)
+        if golden:
+            ratios.append(proxy / golden)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.8 <= mean_ratio <= 1.1, mean_ratio
+
+
+def test_tiktoken_udf_matches_golden_when_available(spark):
+    """Exact-path parity: the Arrow tiktoken UDF must reproduce the
+    golden counts bit-for-bit. Skipped in environments without tiktoken
+    (this sandbox) — the golden file makes the claim executable the
+    moment the package exists."""
+    import pytest
+
+    from chronominer_spark.operators.chunking import (
+        tiktoken_available,
+        tiktoken_count,
+    )
+
+    if not tiktoken_available():
+        pytest.skip("tiktoken not installed")
+    pairs = _golden_pairs()
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(pairs)], "i long, text string"
+    )
+    got = {r["i"]: r["n"] for r in
+           df.select("i", tiktoken_count("text").alias("n")).collect()}
+    for i, (text, golden) in enumerate(pairs):
+        assert got[i] == golden, (text, got[i], golden)

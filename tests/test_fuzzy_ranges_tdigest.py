@@ -196,3 +196,111 @@ def test_resolve_anchor_lines_reference_semantics(spark):
     )
     got2 = resolve_anchor_lines(lines2, anchors2).collect()[0]["resolved_line"]
     assert got2 == 1  # ties break to the earlier line
+
+
+def _reference_remove_overlaps(ranges):
+    """Literal reimplementation of the reference loop
+    (/root/reference/modules/line_ranges/readjuster.py:1642-1747) as the
+    pytest oracle for remove_overlaps_exact."""
+    annotated = sorted(
+        [{"start": s, "end": e, "i": i} for i, (s, e) in enumerate(ranges)],
+        key=lambda r: (r["start"], r["i"]),
+    )
+    processed = []
+    for entry in annotated:
+        cs, ce = entry["start"], entry["end"]
+        if cs > ce:
+            ce = cs
+        if processed:
+            prev = processed[-1]
+            if prev["end"] >= cs:
+                prev["end"] = min(prev["end"], max(prev["start"], cs - 1))
+            if prev["end"] >= cs:
+                cs = prev["end"] + 1
+        if cs > ce:
+            ce = cs
+        processed.append({"start": cs, "end": ce, "i": entry["i"]})
+    return [(p["start"], p["end"]) for p in processed]
+
+
+def test_remove_overlaps_exact_matches_reference_loop(spark):
+    from chronominer_spark.operators.ranges import remove_overlaps_exact
+
+    # full containment, inversion, chained overlap, equal starts
+    cases = {
+        "contain": [(1, 40), (5, 8), (10, 12), (45, 50)],
+        "invert": [(10, 3), (11, 15), (2, 6)],
+        "chain": [(1, 5), (3, 7), (6, 10), (9, 12)],
+        "eqstart": [(4, 9), (4, 6), (4, 5)],
+        "clean": [(1, 3), (5, 8), (20, 25)],
+    }
+    rows = [
+        (doc, i, s, e)
+        for doc, rs in cases.items()
+        for i, (s, e) in enumerate(rs)
+    ]
+    df = spark.createDataFrame(rows, "doc string, ord long, start long, end long")
+    out = remove_overlaps_exact(df, "doc", order_col="ord")
+    got = {
+        doc: [(r["start"], r["end"]) for r in sorted(rws, key=lambda r: r["ord"])]
+        for doc, rws in
+        __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r["doc"], r["ord"])),
+            key=lambda r: r["doc"],
+        )
+    }
+    for doc, rs in cases.items():
+        expected = _reference_remove_overlaps(rs)
+        # reference output is in sorted order; re-key by original index
+        ann = sorted(range(len(rs)), key=lambda i: (rs[i][0], i))
+        by_ord = dict(zip(ann, expected))
+        assert got[doc] == [by_ord[i] for i in range(len(rs))], doc
+
+
+def test_remove_overlaps_exact_vs_one_pass_divergence(spark):
+    """Pin exactly where the one-pass trim_overlaps plan diverges from
+    the reference loop: identical on already-disjoint inputs (both
+    no-ops); on ANY overlap the preserved boundary differs (one-pass
+    keeps the predecessor's end and shifts the current start; the
+    reference trims the predecessor's end to preserve the current
+    start); on full containments the one-pass additionally drops the
+    swallowed range to empty where the reference keeps a clamped
+    range."""
+    from chronominer_spark.operators.ranges import (
+        remove_overlaps_exact,
+        trim_overlaps,
+    )
+
+    disjoint = spark.createDataFrame(
+        [("d", 0, 1, 5), ("d", 1, 7, 9), ("d", 2, 20, 22)],
+        "doc string, ord long, start long, end long",
+    )
+    a = sorted(map(tuple, remove_overlaps_exact(disjoint, "doc", order_col="ord")
+                   .select("ord", "start", "end").collect()))
+    b = sorted(map(tuple, trim_overlaps(disjoint, "doc", order_col="ord")
+                   .select("ord", "start", "end").collect()))
+    assert a == b  # disjoint: both are no-ops
+
+    overlap = spark.createDataFrame(
+        [("d", 0, 1, 5), ("d", 1, 3, 9)],
+        "doc string, ord long, start long, end long",
+    )
+    exact_o = {r["ord"]: (r["start"], r["end"]) for r in
+               remove_overlaps_exact(overlap, "doc", order_col="ord").collect()}
+    onepass_o = {r["ord"]: (r["start"], r["end"]) for r in
+                 trim_overlaps(overlap, "doc", order_col="ord").collect()}
+    assert exact_o == {0: (1, 2), 1: (3, 9)}    # prev end trimmed
+    assert onepass_o == {0: (1, 5), 1: (6, 9)}  # cur start shifted
+
+    degen = spark.createDataFrame(
+        [("d", 0, 1, 40), ("d", 1, 5, 8)],
+        "doc string, ord long, start long, end long",
+    )
+    exact = {r["ord"]: (r["start"], r["end"]) for r in
+             remove_overlaps_exact(degen, "doc", order_col="ord").collect()}
+    onepass = {r["ord"]: (r["start"], r["end"]) for r in
+               trim_overlaps(degen, "doc", order_col="ord").collect()}
+    # reference: prev trimmed to (1,4), contained range kept as (5,8)
+    assert exact == {0: (1, 4), 1: (5, 8)}
+    # one-pass: prev untouched, contained range shifted to empty (41>8)
+    assert onepass[0] == (1, 40) and onepass[1][0] > onepass[1][1]

@@ -192,3 +192,36 @@ def test_runner_export_csv(spark, transcripts, ref_snapshot, gen_cfg, tmp_path):
     assert res.count() > 0 and "constraint_id" in res.columns
     vio = spark.read.option("header", "true").csv(str(tmp_path / "export/violations"))
     assert "__no_violations__" not in {r["constraint_id"] for r in vio.collect()}
+
+
+def test_runner_export_run_scoped_violations(spark, transcripts, ref_snapshot,
+                                             tmp_path):
+    """export(run_only=...) must scope BOTH datasets (round-3 advice:
+    violations previously exported unfiltered, so a one-run export could
+    pair run A's results with run B's violation rows)."""
+    from chronominer_spark.constraints.spec import (
+        default_transcript_suite,
+        default_vocab_dfs,
+    )
+    from chronominer_spark.datagen import ROLE_VOCAB, TOOL_VOCAB
+    from chronominer_spark.runner import SuiteRunner
+
+    runner = SuiteRunner(
+        spark,
+        default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB)),
+        str(tmp_path / "run_out"),
+        vocab_dfs=default_vocab_dfs(spark, list(TOOL_VOCAB)),
+    )
+    import os
+
+    runner.run(transcripts, ref_snapshot, snapshot_id=1, run_id="runA")
+    os.remove(runner.manifest.path)  # force full re-validation as runB
+    runner.run(transcripts, ref_snapshot, snapshot_id=1, run_id="runB")
+
+    runner.export(str(tmp_path / "exportB"), fmt="jsonl", run_only="runB")
+    vio = spark.read.json(str(tmp_path / "exportB/violations"))
+    runs = {r["run_id"] for r in vio.select("run_id").distinct().collect()}
+    assert runs == {"runB"}
+    assert runner.violations(run_only="runA").count() == 0 or \
+        {r["run_id"] for r in runner.violations(run_only="runA")
+         .select("run_id").distinct().collect()} == {"runA"}
