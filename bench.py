@@ -177,11 +177,25 @@ def _run_runner(spark, n_turns: int) -> tuple[float, int]:
 
 
 def _session(cpus: str, shuffle: int):
+    """local[cpus] session, or — when SPARK_GRAFT_MASTER is set — that
+    master verbatim (e.g. ``local-cluster[8,4,8192]``: 8 separate
+    executor JVMs × 4 cores × 8 GiB on this box, the closest sandbox
+    analog of a real multi-executor deployment; used by the scaling
+    campaign to separate JVM-internal ceilings from machine ceilings)."""
     from chronominer_spark.session import build_session
 
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    if master.startswith("local-cluster"):
+        os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    extra = {"spark.driver.memory":
+             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")}
+    if master.startswith("local-cluster"):
+        # driver-side memory can be slimmer; executors carry the heap
+        extra["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g")
     return build_session(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=shuffle,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
+        "bench", master=master, shuffle_partitions=shuffle, extra_conf=extra,
     )
 
 
