@@ -136,13 +136,74 @@ def remove_overlaps_exact(
     return df.groupBy(key).applyInPandas(fix, schema=df.schema)
 
 
+def enforce_max_gap_exact(
+    df: DataFrame, key: str, start: str = "start", end: str = "end",
+    max_gap: int = 1, order_col: str | None = None,
+    deleted_spans: DataFrame | None = None,
+) -> DataFrame:
+    """Exact re-expression of the reference's gap enforcement
+    (``/root/reference/modules/line_ranges/readjuster.py:1749-1804``):
+    when the gap to the NEXT range exceeds ``max_gap``, extend THIS
+    range's end to ``next_start - max_gap - 1`` — reducing the gap to
+    exactly ``max_gap``, not zero (:func:`enforce_max_gap` closes it
+    fully, a divergence mirroring the W4 boundary-direction choice).
+    The extension never shrinks (monotone clamp) and never reaches into
+    a ``deleted_spans`` row (columns ``key, span_start, span_end``):
+    spans confirmed content-free cap the extension at ``span_start - 1``
+    — otherwise deletion would be silently undone and the no-content
+    lines re-extracted.
+
+    One window pass: each range's end depends only on its successor's
+    (immutable) start, so no iteration is needed. The span cap is a
+    per-key non-equi join (spans are tiny by construction) + min."""
+    order = [F.col(start).asc()]
+    if order_col:
+        order.append(F.col(order_col).asc())
+    w = W.partitionBy(key).orderBy(*order)
+    next_start = F.lead(F.col(start)).over(w)
+    gap = next_start - F.col(end) - 1
+    cand = F.when(
+        next_start.isNotNull() & (gap > max_gap),
+        next_start - max_gap - 1,
+    )
+    base = df.withColumn("__cand", cand)
+    if deleted_spans is not None:
+        sp = deleted_spans.select(
+            F.col(key).alias("__k"),
+            F.col("span_start").alias("__ss"),
+            F.col("span_end").alias("__se"),
+        )
+        joined = base.join(
+            sp,
+            (F.col(key) == F.col("__k"))
+            & (F.col("__se") > F.col(end))
+            & (F.col("__ss") <= F.col("__cand")),
+            "left",
+        )
+        base = joined.groupBy(*df.columns, "__cand").agg(
+            F.min(F.col("__ss") - 1).alias("__cap")
+        )
+    else:
+        base = base.withColumn("__cap", F.lit(None).cast("long"))
+    new_end = F.greatest(
+        F.col(end),
+        F.least(F.col("__cand"), F.coalesce("__cap", "__cand")),
+    )
+    return base.withColumn(
+        end, F.coalesce(new_end, F.col(end))
+    ).drop("__cand", "__cap")
+
+
 def enforce_max_gap(
     df: DataFrame, key: str, start: str = "start", end: str = "end",
     max_gap: int = 1, order_col: str | None = None,
 ) -> DataFrame:
     """Extend each range's end toward the successor when the gap
     exceeds ``max_gap`` (W5): ``end' = next_start - 1`` for oversized
-    gaps, clamped to never shrink (W8 monotone clamp)."""
+    gaps, clamped to never shrink (W8 monotone clamp). NOTE: the
+    reference reduces the gap to exactly ``max_gap`` and honors
+    deleted-span caps — :func:`enforce_max_gap_exact` is the
+    reference-parity variant; this one closes the gap fully."""
     order = [F.col(start).asc()]
     if order_col:
         order.append(F.col(order_col).asc())

@@ -1421,6 +1421,79 @@ LEFT JOIN walk w2 ON w2.doc = w.doc AND w2.rn = w.rn + 1
 """
 
 
+def q38_gap_enforcement_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 reference-exact gap enforcement (``readjuster.py:1749-1804``):
+    oversized gaps shrink to exactly max_gap by extending the PREVIOUS
+    range's end, capped so the extension never reaches into a deleted
+    span. Ranges synthesized disjoint (start = rn*20) with variable
+    ends so some gaps exceed max_gap=10 and some don't; two fixed spans
+    per doc exercise the cap."""
+    from chronominer_spark.operators.ranges import enforce_max_gap_exact
+
+    e = t(spark, sf_dir, "events")
+    lines = e.select(
+        (F.col("user_id") % 20).cast("long").alias("doc"), "event_id"
+    )
+    ranges = lines.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc").orderBy(F.col("event_id").asc())
+        ).cast("long"),
+    ).select(
+        "doc", "event_id",
+        (F.col("rn") * 20).alias("start"),
+        (F.col("rn") * 20 + F.pmod(F.col("event_id"), F.lit(18)))
+        .cast("long").alias("end"),
+    )
+    docs = lines.select("doc").distinct()
+    spans = docs.select(
+        "doc", F.lit(45).cast("long").alias("span_start"),
+        F.lit(52).cast("long").alias("span_end"),
+    ).unionByName(docs.select(
+        "doc", F.lit(105).cast("long").alias("span_start"),
+        F.lit(112).cast("long").alias("span_end"),
+    ))
+    out = enforce_max_gap_exact(ranges, "doc", max_gap=10,
+                                order_col="event_id", deleted_spans=spans)
+    return out.select("doc", "event_id", "start", "end")
+
+
+_Q38_SQL = """
+WITH ranges AS (
+  SELECT (user_id % 20)::BIGINT AS doc, event_id,
+         (rn * 20)::BIGINT AS start,
+         (rn * 20 + (event_id % 18))::BIGINT AS "end"
+  FROM (SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id % 20
+                                  ORDER BY event_id ASC) AS rn
+        FROM events)),
+spans AS (
+  SELECT DISTINCT doc, 45::BIGINT AS ss, 52::BIGINT AS se FROM ranges
+  UNION ALL
+  SELECT DISTINCT doc, 105::BIGINT, 112::BIGINT FROM ranges),
+led AS (
+  SELECT doc, event_id, start, "end",
+         lead(start) OVER (PARTITION BY doc
+                           ORDER BY start ASC, event_id ASC) AS ns
+  FROM ranges),
+cand AS (
+  SELECT doc, event_id, start, "end",
+         CASE WHEN ns IS NOT NULL AND ns - "end" - 1 > 10
+              THEN ns - 10 - 1 END AS cd
+  FROM led),
+capped AS (
+  SELECT c.doc, c.event_id, c.start, c."end", c.cd,
+         min(s.ss - 1) AS cap
+  FROM cand c LEFT JOIN spans s
+    ON s.doc = c.doc AND s.se > c."end" AND s.ss <= c.cd
+  GROUP BY c.doc, c.event_id, c.start, c."end", c.cd)
+SELECT doc, event_id, start,
+       coalesce(greatest("end", least(cd, coalesce(cap, cd))), "end")::BIGINT
+         AS "end"
+FROM capped
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -1459,6 +1532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_embedding_near_dups": q35_embedding_near_dups,
     "q36_multimodal_features": q36_multimodal_features,
     "q37_overlap_removal_exact": q37_overlap_removal_exact,
+    "q38_gap_enforcement_exact": q38_gap_enforcement_exact,
 }
 
 ORACLES: dict[str, str] = {
@@ -1497,6 +1571,7 @@ ORACLES: dict[str, str] = {
     "q36_multimodal_features": _Q36_SQL,
     "q29_tdigest_quantiles": _Q29_SQL,
     "q37_overlap_removal_exact": _Q37_SQL,
+    "q38_gap_enforcement_exact": _Q38_SQL,
     # q30/q31: rows-only — per-block greedy assignment (q30) and
     # driver-trained k-means (q31) have no faithful SQL mirror;
     # correctness covered by in-repo tests (recall vs brute force, hand

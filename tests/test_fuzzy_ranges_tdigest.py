@@ -304,3 +304,60 @@ def test_remove_overlaps_exact_vs_one_pass_divergence(spark):
     assert exact == {0: (1, 4), 1: (5, 8)}
     # one-pass: prev untouched, contained range shifted to empty (41>8)
     assert onepass[0] == (1, 40) and onepass[1][0] > onepass[1][1]
+
+
+def _reference_enforce_max_gap(ranges, max_gap, deleted_spans=()):
+    """Literal reimplementation of the reference loop
+    (/root/reference/modules/line_ranges/readjuster.py:1749-1804)."""
+    if not ranges:
+        return []
+    enforced = []
+    for index, (start, end) in enumerate(ranges):
+        if index == 0:
+            enforced.append((start, end))
+            continue
+        prev_start, prev_end = enforced[-1]
+        gap = start - prev_end - 1
+        if gap > max_gap:
+            new_prev_end = start - max_gap - 1
+            for span_start, span_end in deleted_spans:
+                if span_end > prev_end and span_start <= new_prev_end:
+                    new_prev_end = min(new_prev_end, span_start - 1)
+            if new_prev_end > prev_end:
+                enforced[-1] = (prev_start, new_prev_end)
+        enforced.append((start, end))
+    return enforced
+
+
+def test_enforce_max_gap_exact_matches_reference_loop(spark):
+    from chronominer_spark.operators.ranges import enforce_max_gap_exact
+
+    cases = {
+        # plain oversized gap -> prev extended to start - max_gap - 1
+        "plain": ([(1, 3), (30, 35), (40, 44)], []),
+        # extension capped by a deleted span
+        "span_cap": ([(1, 3), (30, 35)], [(10, 14)]),
+        # span entirely behind prev end -> no cap
+        "span_behind": ([(5, 9), (40, 42)], [(2, 4)]),
+        # cap drives candidate below prev end -> no extension at all
+        "span_blocks": ([(1, 8), (40, 42)], [(9, 20)]),
+        # small gap untouched
+        "small_gap": ([(1, 5), (8, 12)], []),
+    }
+    rows, span_rows = [], []
+    for doc, (rs, spans) in cases.items():
+        rows += [(doc, i, s, e) for i, (s, e) in enumerate(rs)]
+        span_rows += [(doc, ss, se) for ss, se in spans]
+    df = spark.createDataFrame(rows, "doc string, ord long, start long, end long")
+    spans_df = spark.createDataFrame(
+        span_rows or [("__none__", 0, 0)],
+        "doc string, span_start long, span_end long",
+    )
+    out = enforce_max_gap_exact(df, "doc", max_gap=10, order_col="ord",
+                                deleted_spans=spans_df)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc"], {})[r["ord"]] = (r["start"], r["end"])
+    for doc, (rs, spans) in cases.items():
+        expected = _reference_enforce_max_gap(rs, 10, spans)
+        assert [got[doc][i] for i in range(len(rs))] == expected, doc
