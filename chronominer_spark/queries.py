@@ -1057,7 +1057,13 @@ _Q29_SQL = "\nUNION ALL\n".join(
 
 def q30_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 fuzzy entry match: blocked candidate join + Levenshtein
-    threshold + greedy 1:1 assignment (rows-only; pytest oracle)."""
+    threshold + greedy 1:1 assignment. Oracle-backed since round 3: the
+    per-block greedy loop ("sort once by (score desc, ids), accept if
+    both sides unused") is equivalent to repeatedly taking the best
+    remaining pair, which a recursive CTE expresses exactly — one
+    accepted pair per recursion step per block, used-id sets carried as
+    lists (DuckDB levenshtein == Spark's; both sides sort on the
+    ROUNDED score exactly as the operator does)."""
     from chronominer_spark.operators.fuzzy import fuzzy_match
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
@@ -1069,6 +1075,50 @@ def q30_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.substring(F.concat(F.col("text"), F.lit(" x")), 1, 80)
                    .alias("snippet"))
     return fuzzy_match(gt, hyp, ["block"], "snippet", threshold=0.85)
+
+
+# The greedy 1:1 assignment as a recursive CTE: base = best candidate
+# per block under (score desc, gt_id, hyp_id); each step extends every
+# block's chain with the best pair whose ids are both unused (the
+# LATERAL LIMIT 1 — empty result ends that block's recursion). The
+# single-sorted-pass-with-skip the operator runs is equivalent to this
+# take-best-remaining loop. Ordering uses round(score, 6) exactly like
+# the operator's candidate frame.
+_Q30_SQL = f"""
+WITH RECURSIVE g AS (
+  SELECT (doc_id % 80)::VARCHAR AS block, doc_id AS gt_id,
+         {_NORM_SQL.format(col="substr(text, 1, 80)")} AS gn
+  FROM documents WHERE doc_id < 400),
+h AS (
+  SELECT (doc_id % 80)::VARCHAR AS block, doc_id + 1000000 AS hyp_id,
+         {_NORM_SQL.format(col="substr(text || ' x', 1, 80)")} AS hn
+  FROM documents WHERE doc_id < 400),
+cand AS (
+  SELECT block, gt_id, hyp_id,
+         round(CASE WHEN greatest(length(gn), length(hn)) = 0 THEN 1.0
+               ELSE 1.0 - levenshtein(gn, hn)::DOUBLE
+                          / greatest(length(gn), length(hn)) END, 6) AS score
+  FROM g JOIN h USING (block)
+  WHERE (CASE WHEN greatest(length(gn), length(hn)) = 0 THEN 1.0
+         ELSE 1.0 - levenshtein(gn, hn)::DOUBLE
+                    / greatest(length(gn), length(hn)) END) >= 0.85),
+walk AS (
+  SELECT block, gt_id, hyp_id, score, [gt_id] AS ug, [hyp_id] AS uh
+  FROM (SELECT *, row_number() OVER (PARTITION BY block
+          ORDER BY score DESC, gt_id, hyp_id) AS rn FROM cand)
+  WHERE rn = 1
+  UNION ALL
+  SELECT w.block, nxt.gt_id, nxt.hyp_id, nxt.score,
+         list_append(w.ug, nxt.gt_id), list_append(w.uh, nxt.hyp_id)
+  FROM walk w, LATERAL (
+    SELECT c.gt_id, c.hyp_id, c.score FROM cand c
+    WHERE c.block = w.block
+      AND NOT list_contains(w.ug, c.gt_id)
+      AND NOT list_contains(w.uh, c.hyp_id)
+    ORDER BY c.score DESC, c.gt_id, c.hyp_id
+    LIMIT 1) nxt)
+SELECT block, gt_id, hyp_id, score FROM walk
+"""
 
 
 def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,10 +1622,12 @@ ORACLES: dict[str, str] = {
     "q29_tdigest_quantiles": _Q29_SQL,
     "q37_overlap_removal_exact": _Q37_SQL,
     "q38_gap_enforcement_exact": _Q38_SQL,
-    # q30/q31: rows-only — per-block greedy assignment (q30) and
-    # driver-trained k-means (q31) have no faithful SQL mirror;
-    # correctness covered by in-repo tests (recall vs brute force, hand
-    # examples). q29's sketch VALUE is likewise unmirrorable, but its
-    # bounded-error verdict against the exact quantile is — so q29 now
-    # carries that checkable contract as its oracle.
+    "q30_fuzzy_match": _Q30_SQL,
+    # q31 stays rows-only: driver-trained k-means centroids have no
+    # faithful SQL mirror (floating-point summation order differs
+    # between numpy and SQL engines, flipping assignments); correctness
+    # is covered by recall-vs-brute-force pytest. q29's sketch VALUE is
+    # likewise unmirrorable, but its bounded-error verdict against the
+    # exact quantile is — that checkable contract is q29's oracle. The
+    # q30 greedy loop IS mirrorable (recursive CTE above) since round 3.
 }
