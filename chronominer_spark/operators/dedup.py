@@ -349,6 +349,71 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "na", "nb", "jaccard")
 
 
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    canonicalization step after :func:`lsh_candidate_pairs` /
+    :func:`embedding_near_dups`: every document in a component gets
+    ``cluster_id`` = the component's smallest member id, so "keep one
+    per cluster" is a filter on ``id == cluster_id``.
+
+    Iterative min-label propagation (the standard Spark CC formulation
+    absent a graph library): each round, every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup components are shallow (copies of a
+    common original), so typically 2–3. Per round: one equi-join on the
+    (deduplicated, bidirectional) edge list + one min-aggregate — all
+    hash-partitioned on node id, no global structure. The loop is
+    driver-side but touches only per-round CHANGE COUNTS (a 1-row
+    aggregate), never rows; labels are localCheckpoint'ed each round so
+    lineage stays flat across iterations.
+
+    Returns (id, cluster_id) for every node that appears in a pair;
+    singletons (docs with no near-dup) are absent by construction —
+    union them in with ``cluster_id = id`` if a total mapping is
+    needed."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    from pyspark import StorageLevel
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.select(F.col("id").alias("dst"),
+                                     F.col("label").alias("__dl")), on="dst")
+            .groupBy("src").agg(F.min("__dl").alias("__nl"))
+        )
+        new_labels = (
+            labels.join(neigh.select(F.col("src").alias("id"), "__nl"),
+                        on="id", how="left")
+            .select("id", F.least(F.col("label"),
+                                  F.coalesce("__nl", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64,
     portable: bool = False,

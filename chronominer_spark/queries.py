@@ -1544,6 +1544,115 @@ FROM capped
 """
 
 
+def q39_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the canonicalization step after pair
+    generation: TWO jittered copies are planted per 10th vector
+    (ids +1M and +2M), the guarded hyperplane-LSH near-dup detector
+    produces the pair graph, and connected components assign every
+    member its component-min ``cluster_id`` (so keep-one-per-cluster is
+    ``id == cluster_id``). Transitivity is the point: copy₁–copy₂ may
+    pair directly or only through the original; either way all three
+    land in one cluster. Oracle: the q35-style LSH mirror for pairs +
+    a recursive transitive-closure min-label."""
+    from chronominer_spark.operators.dedup import dedup_clusters
+    from chronominer_spark.operators.similarity import embedding_near_dups
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+    def plant(offset: int, mult: int, mod: int, shift: int, scale: float):
+        # rename BEFORE remapping the id (lateral-alias capture, see q35)
+        return (
+            base.where(F.col("vec_id") % 10 == 0)
+            .select(F.col("vec_id").alias("orig_id"), "embedding")
+            .select(
+                (F.col("orig_id") + offset).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, d: x + F.lit(scale)
+                    * (F.pmod(F.col("orig_id") * mult + d.cast("long"),
+                              F.lit(mod)) - shift).cast("double"),
+                ).alias("embedding"),
+            )
+        )
+
+    corpus = base.unionByName(plant(1_000_000, 31, 7, 3, 0.001)) \
+                 .unionByName(plant(2_000_000, 37, 5, 2, 0.002))
+    pairs = embedding_near_dups(
+        corpus, threshold=0.99, dim=64, n_tables=6, n_bits=10, seed=7,
+        plane_scheme="rademacher_md5",
+    )
+    return dedup_clusters(pairs).orderBy("id")
+
+
+_Q39_SQL = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+  FROM embeddings),
+planted1 AS (
+  SELECT orig_id + 1000000 AS vec_id, jemb AS embedding
+  FROM (SELECT vec_id AS orig_id,
+               list_transform(range(0, 64),
+                 d -> embedding[d + 1]::DOUBLE
+                      + 0.001 * (((vec_id * 31 + d) % 7) - 3)::DOUBLE) AS jemb
+        FROM embeddings WHERE vec_id % 10 = 0)),
+planted2 AS (
+  SELECT orig_id + 2000000 AS vec_id, jemb AS embedding
+  FROM (SELECT vec_id AS orig_id,
+               list_transform(range(0, 64),
+                 d -> embedding[d + 1]::DOUBLE
+                      + 0.002 * (((vec_id * 37 + d) % 5) - 2)::DOUBLE) AS jemb
+        FROM embeddings WHERE vec_id % 10 = 0)),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted1
+           UNION ALL SELECT * FROM planted2),
+p AS (
+  SELECT t.range AS t, b.range AS b, d.range AS d,
+         CASE WHEN substr(md5(7 || ':' || t.range || ':' || b.range || ':' || d.range), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS s
+  FROM range(6) t, range(10) b, range(64) d),
+bits AS (
+  SELECT e.vec_id, p.t, p.b,
+         CASE WHEN sum(p.s * e.embedding[p.d + 1]) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM corpus e CROSS JOIN p
+  GROUP BY e.vec_id, p.t, p.b),
+keys AS (
+  SELECT vec_id, t, 't' || t || ':' || string_agg(bit, '' ORDER BY b) AS bucket
+  FROM bits GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keys q JOIN keys c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x * x)))), 6) AS cosine
+  FROM cand JOIN corpus a ON a.vec_id = cand.query_id
+            JOIN corpus b ON b.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored),
+pairs AS (
+  SELECT query_id AS id_a, neighbor_id AS id_b
+  FROM ranked
+  WHERE rank <= 50 AND cosine >= 0.99 AND query_id < neighbor_id),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+SELECT id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -1583,6 +1692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_multimodal_features": q36_multimodal_features,
     "q37_overlap_removal_exact": q37_overlap_removal_exact,
     "q38_gap_enforcement_exact": q38_gap_enforcement_exact,
+    "q39_near_dup_clusters": q39_near_dup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1623,6 +1733,7 @@ ORACLES: dict[str, str] = {
     "q37_overlap_removal_exact": _Q37_SQL,
     "q38_gap_enforcement_exact": _Q38_SQL,
     "q30_fuzzy_match": _Q30_SQL,
+    "q39_near_dup_clusters": _Q39_SQL,
     # q31 stays rows-only: driver-trained k-means centroids have no
     # faithful SQL mirror (floating-point summation order differs
     # between numpy and SQL engines, flipping assignments); correctness

@@ -359,3 +359,27 @@ def test_field_metrics_fuzzy_text_matching(spark):
     # the exact int field is unaffected by the fuzzy option
     assert strict["v"] == fuzzy["v"]
     assert fuzzy["v"]["tp"] == 3 and fuzzy["v"]["fp"] == 1  # 31 != 30
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """Connected components must close chains the pair list never states
+    directly (a-b, b-c, c-d -> one cluster labeled by the min id), keep
+    disjoint components apart, and converge under repartitioning."""
+    from chronominer_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> cluster 1
+         (10, 11),                    # pair  -> cluster 10
+         (20, 22), (21, 22)],         # star  -> cluster 20
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    got2 = {r["id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs.repartition(7)).collect()}
+    assert got2 == got
+    # keep-one-per-cluster filter yields exactly the component minima
+    keep = sorted(i for i, c in got.items() if i == c)
+    assert keep == [1, 10, 20]
