@@ -1653,6 +1653,102 @@ SELECT id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the composed pipeline a
+    reference user actually runs: quality scoring → quality gate →
+    language gate → exact dedup (content-hash winner) → per-source
+    corpus accounting (kept docs, token budget, mean quality). Every
+    stage is an already-oracle-verified operator (q22/q23/q17/q16);
+    this query verifies their COMPOSITION end-to-end."""
+    from chronominer_spark.operators.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents")
+    kept = language_id(quality_features(d)).where(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    deduped = exact_dedup(kept, "doc_id", "text")
+    # mean quality via integral-millionths summation: quality_score is
+    # already round(x, 6), so round(score*1e6) is an exact long and the
+    # sum is associative-exact — a plain avg(double) is last-ulp
+    # sensitive to partial-merge ORDER (observed flipping the 6th
+    # decimal under concurrent load), which an order-insensitive
+    # cross-engine hash cannot tolerate
+    q_micro = F.round(F.col("quality_score") * 1e6).cast("long")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.sum(q_micro) / (F.count(F.lit(1)) * 1e6), 6)
+        .alias("avg_quality"),
+    )
+
+
+def _mk_q40_sql() -> str:
+    from chronominer_spark.operators.textstats import LANG_MARKERS, STOPWORDS
+
+    ws_expr = ("string_split_regex(" + _NORM_SQL.format(col="coalesce(text, '')")
+               + ", '\\s+')")
+    _ = STOPWORDS  # stopword_ratio not used by the composite score
+    scores_sql = ",\n         ".join(
+        f"len(list_filter(ws, w -> list_contains({_sql_list(mk)}, w)))"
+        f" / greatest(len(ws), 1) AS s_{lang}"
+        for lang, mk in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{g}" for g in LANG_MARKERS) + ")"
+    whens = "\n              ".join(
+        f"WHEN s_{g} = {best} THEN '{g}'" for g in LANG_MARKERS
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id, source, text, coalesce(text, '') AS c, {ws_expr} AS ws
+  FROM documents),
+feat AS (
+  SELECT doc_id, source, text, ws,
+         len(list_filter(ws, w -> w <> '')) AS n_words,
+         length(c) AS n_chars,
+         length(c) - length(regexp_replace(c, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(c, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM f),
+scored AS (
+  SELECT doc_id, source, text, ws,
+         round(0.4 * least(n_words / 20.0, 1.0)
+               + 0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                        ELSE 0.0 END)
+               + 0.2 * (1.0 - least((CASE WHEN n_chars > 0
+                                     THEN n_punct / n_chars ELSE 0.0 END) * 4,
+                                    1.0)), 6) AS quality_score
+  FROM feat),
+lang AS (
+  SELECT doc_id, source, text, quality_score,
+         {scores_sql}
+  FROM scored),
+pred AS (
+  SELECT doc_id, source, text, quality_score,
+         CASE WHEN {best} = 0 THEN 'und'
+              {whens}
+         END AS lang_pred
+  FROM lang),
+kept AS (
+  SELECT * FROM pred WHERE quality_score >= 0.5 AND lang_pred = 'en'),
+keyed AS (
+  SELECT *, md5({_NORM_SQL.format(col="coalesce(text, '')")}) AS ck
+  FROM kept),
+ded AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY ck
+                                              ORDER BY doc_id ASC) AS rn
+                 FROM keyed)
+  WHERE rn = 1)
+SELECT source, count(*) AS kept_docs,
+       sum(len(regexp_extract_all(coalesce(text, ''),
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_tokens,
+       round(sum(round(quality_score * 1e6)::BIGINT)
+             / (count(*) * 1e6), 6) AS avg_quality
+FROM ded GROUP BY source
+"""
+
+
+_Q40_SQL = _mk_q40_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -1693,6 +1789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_overlap_removal_exact": q37_overlap_removal_exact,
     "q38_gap_enforcement_exact": q38_gap_enforcement_exact,
     "q39_near_dup_clusters": q39_near_dup_clusters,
+    "q40_corpus_curation": q40_corpus_curation,
 }
 
 ORACLES: dict[str, str] = {
@@ -1734,6 +1831,7 @@ ORACLES: dict[str, str] = {
     "q38_gap_enforcement_exact": _Q38_SQL,
     "q30_fuzzy_match": _Q30_SQL,
     "q39_near_dup_clusters": _Q39_SQL,
+    "q40_corpus_curation": _Q40_SQL,
     # q31 stays rows-only: driver-trained k-means centroids have no
     # faithful SQL mirror (floating-point summation order differs
     # between numpy and SQL engines, flipping assignments); correctness
