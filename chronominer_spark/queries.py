@@ -754,10 +754,17 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 
 
 def q22_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring features aggregated per source."""
+    """Quality scoring features aggregated per source. avg_quality sums
+    integral millionths of the (pre-rounded-to-6) score: averaging
+    pre-rounded doubles lands on exact .5e-6 rounding boundaries often,
+    where partial-merge ORDER can flip the 6th decimal (observed on
+    q40) — integral summation is associative-exact. The raw-ratio
+    averages are boundary-hits only at ~1 ulp and stay as plain avg."""
     d = quality_features(t(spark, sf_dir, "documents"))
+    q_micro = F.round(F.col("quality_score") * 1e6).cast("long")
     return d.groupBy("source").agg(
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.sum(q_micro) / (F.count(F.lit(1)) * 1e6), 6)
+        .alias("avg_quality"),
         F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
         F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
         F.round(F.avg("n_words"), 4).alias("avg_words"),
@@ -791,8 +798,10 @@ scored AS (
          CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stopword_ratio
   FROM feat)
 SELECT source,
-       round(avg(round(0.4 * least(n_words / 20.0, 1.0) + 0.4 * alpha_ratio
-                       + 0.2 * (1.0 - least(punct_ratio * 4, 1.0)), 6)), 6)
+       round(sum(round(round(0.4 * least(n_words / 20.0, 1.0)
+                             + 0.4 * alpha_ratio
+                             + 0.2 * (1.0 - least(punct_ratio * 4, 1.0)),
+                       6) * 1e6)::BIGINT) / (count(*) * 1e6), 6)
          AS avg_quality,
        round(avg(punct_ratio), 6)    AS avg_punct_ratio,
        round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
