@@ -316,6 +316,31 @@ def ivf_train(
     return [[float(v) for v in c] for c in cent]
 
 
+def ivf_train_distributed(
+    corpus: DataFrame, vec_col: str = "embedding",
+    n_centroids: int = 16, seed: int = 42, iters: int = 20,
+) -> list[list[float]]:
+    """Distributed k-means via Spark MLlib (k-means|| init + Lloyd
+    iterations on executors) — trains on the FULL corpus with no
+    driver-side sample cap, the 100-TB path where :func:`ivf_train`'s
+    deliberate ≤20k driver sample would under-represent the space.
+    MLlib optimizes Euclidean distance (the driver trainer assigns by
+    cosine); for IVF cell assignment over normalized-ish embedding
+    spaces both carve equivalent Voronoi cells, and recall is asserted
+    in tests for both trainers. Returns plain ``list[list[float]]`` so
+    the index build/search path is identical for either trainer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=iters).fit(feats)
+    return [[float(v) for v in c] for c in model.clusterCenters()]
+
+
 def _nearest_cells(vec_col, cents_col: str, top: int) -> F.Column:
     """Top cells by dot product against the broadcast centroid matrix;
     ties break toward the larger cell id (array_sort + reverse), which
@@ -394,9 +419,16 @@ def ivf_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_centroids: int = 16, n_probe: int = 3,
     sample_fraction: float = 0.2, seed: int = 42, iters: int = 3,
+    distributed_train: bool = False,
 ) -> DataFrame:
-    """One-shot IVF ANN: train + build + search in a single call."""
-    centroids = ivf_train(corpus, vec_col, n_centroids, sample_fraction,
-                          seed, iters)
+    """One-shot IVF ANN: train + build + search in a single call.
+    ``distributed_train=True`` swaps the bounded driver-sample trainer
+    for MLlib's full-corpus distributed k-means (the scale path)."""
+    if distributed_train:
+        centroids = ivf_train_distributed(corpus, vec_col, n_centroids,
+                                          seed=seed)
+    else:
+        centroids = ivf_train(corpus, vec_col, n_centroids,
+                              sample_fraction, seed, iters)
     index = ivf_build_index(corpus, centroids, id_col, vec_col)
     return ivf_search(queries, index, centroids, id_col, vec_col, k, n_probe)

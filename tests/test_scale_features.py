@@ -213,3 +213,16 @@ def test_plan_shape_equality_exchange_value_free(spark):
     assert all(", val," not in ln and "AS val" not in ln
                for ln in agg_lines), agg_lines
     ev.unpersist_all()
+
+
+def test_ivf_distributed_trainer_recall(vectors):
+    """MLlib full-corpus k-means as the IVF trainer (the path without
+    the ≤20k driver-sample cap) must reach the same recall bar as the
+    driver trainer on clustered vectors."""
+    from chronominer_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    bf = brute_force_topk(vectors, vectors, k=3)
+    ann = ivf_topk(vectors, vectors, k=3, n_centroids=3, n_probe=2,
+                   distributed_train=True)
+    hits = ann.join(bf, ["query_id", "neighbor_id"]).count()
+    assert hits / bf.count() >= 0.9
