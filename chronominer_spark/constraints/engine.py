@@ -189,7 +189,10 @@ class SuiteEvaluator:
             cur_n = self._share(
                 self._narrow_frame(df, eq_list, drift_groups, extra_cols)
             )
-        if self.share_input_scan and ref_consumers >= 2:
+        # every ref_n consumer (equality pre-path, shared drift) requires
+        # cur_n AND ref_n — so a ref projection built without its cur twin
+        # would be a persisted full ref scan nobody ever reads
+        if self.share_input_scan and ref_consumers >= 2 and cur_n is not None:
             ref_n = self._share(
                 self._narrow_frame(ref, eq_list, drift_groups, [])
             )

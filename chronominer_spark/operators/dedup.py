@@ -351,7 +351,7 @@ def ngram_jaccard_pairs(
 
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 20, on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the
     canonicalization step after :func:`lsh_candidate_pairs` /
@@ -370,10 +370,22 @@ def dedup_clusters(
     aggregate), never rows; labels are localCheckpoint'ed each round so
     lineage stays flat across iterations.
 
+    Convergence is a CONTRACT, not a hope: if ``max_iter`` rounds pass
+    without reaching a fixed point (a similarity chain longer than
+    ``max_iter`` hops — e.g. doc0~doc1~...~docN with N > max_iter), the
+    labels are WRONG (one component split into several), so the default
+    ``on_nonconverged="raise"`` fails loudly with the residual change
+    count. ``on_nonconverged="warn"`` logs and returns the partial
+    labels for callers that prefer availability (e.g. exploratory runs);
+    there is no silent path.
+
     Returns (id, cluster_id) for every node that appears in a pair;
     singletons (docs with no near-dup) are absent by construction —
     union them in with ``cluster_id = id`` if a total mapping is
     needed."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -388,6 +400,7 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.select(F.col("id").alias("dst"),
@@ -409,8 +422,19 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"dedup_clusters: min-label propagation did NOT converge within "
+            f"max_iter={max_iter} rounds (labels still changing) — a "
+            f"similarity chain longer than max_iter hops exists; returned "
+            f"cluster ids would split that component. Raise max_iter."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        logger.warning(msg)
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -155,7 +155,11 @@ def enforce_max_gap_exact(
 
     One window pass: each range's end depends only on its successor's
     (immutable) start, so no iteration is needed. The span cap is a
-    per-key non-equi join (spans are tiny by construction) + min."""
+    per-key non-equi join (spans are tiny by construction) + min;
+    rows are tagged with a surrogate id before that join and the
+    collapse groups on the TAG, not on every column — so exact-duplicate
+    input rows survive and unorderable/ungroupable column types (maps)
+    don't break the span-capped path."""
     order = [F.col(start).asc()]
     if order_col:
         order.append(F.col(order_col).asc())
@@ -173,6 +177,9 @@ def enforce_max_gap_exact(
             F.col("span_start").alias("__ss"),
             F.col("span_end").alias("__se"),
         )
+        # surrogate row id so the post-join collapse groups on identity,
+        # not on value equality across every column
+        base = base.withColumn("__rid", F.monotonically_increasing_id())
         joined = base.join(
             sp,
             (F.col(key) == F.col("__k"))
@@ -180,9 +187,11 @@ def enforce_max_gap_exact(
             & (F.col("__ss") <= F.col("__cand")),
             "left",
         )
-        base = joined.groupBy(*df.columns, "__cand").agg(
-            F.min(F.col("__ss") - 1).alias("__cap")
-        )
+        base = joined.groupBy("__rid").agg(
+            *[F.first(F.col(c)).alias(c) for c in df.columns],
+            F.first("__cand").alias("__cand"),
+            F.min(F.col("__ss") - 1).alias("__cap"),
+        ).drop("__rid")
     else:
         base = base.withColumn("__cap", F.lit(None).cast("long"))
     new_end = F.greatest(

@@ -183,20 +183,31 @@ def lsh_topk(
     ``max_bucket_size`` guards against degenerate buckets on the corpus
     side (e.g. the all-zeros region): larger buckets are excluded from
     candidate generation with a logged drop — the affected vectors can
-    still be found through their other tables."""
+    still be found through their other tables.
+
+    Shuffle discipline: the bucket self-join, the candidate ``distinct``
+    and the (eager) lineage-truncating checkpoint all carry ONLY
+    ``(id, bucket)`` / ``(query_id, neighbor_id)`` — never the embedding
+    vectors. Vectors are re-joined by key after candidate generation,
+    exactly once per surviving pair (the same pattern as
+    ``dedup.lsh_candidate_pairs``). Carrying vectors through the
+    candidate set multiplied shuffle/checkpoint bytes by 2×dim per pair
+    and caused a measured 2× regression at sf0.1."""
     planes = [
         [_hyperplane(seed, t, b, dim, plane_scheme) for b in range(n_bits)]
         for t in range(n_tables)
     ]
 
     def bucketize(df: DataFrame, name: str) -> DataFrame:
+        # only (id, bucket) leaves this projection — the vector is
+        # consumed by the sketch and projected away before any shuffle
         with_planes = _broadcast_nested(
             df.select(F.col(id_col).alias(name),
                       F.col(vec_col).alias(f"__{name}_v")),
             "__planes", planes, depth=3,
         )
         return with_planes.select(
-            name, f"__{name}_v",
+            name,
             F.explode(_sketch_buckets(f"__{name}_v", "__planes")).alias("bucket"),
         )
 
@@ -229,17 +240,30 @@ def lsh_topk(
     cand = (
         qb.join(cb, on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__query_id_v", "neighbor_id", "__neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
     if cached is not None:
         # release the corpus-bucket cache: truncate lineage at the
-        # (bounded) candidate set, then unpersist — a long-lived session
-        # must not accumulate one MEMORY_AND_DISK frame per call.
-        # localCheckpoint blocks are context-cleaned on GC, unlike
-        # CacheManager entries.
+        # (bounded, id-pairs-only) candidate set, then unpersist — a
+        # long-lived session must not accumulate one MEMORY_AND_DISK
+        # frame per call. localCheckpoint blocks are context-cleaned on
+        # GC, unlike CacheManager entries.
         cand = cand.localCheckpoint(eager=True)
         cached.unpersist()
+    # re-attach vectors by key, once per surviving candidate pair; AQE
+    # broadcasts whichever side is small enough (the query side usually
+    # is; for self-join near-dup use both sides shuffle by key — still
+    # linear in candidates, never in the corpus cross product)
+    cand = (
+        cand
+        .join(queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("__query_id_v")),
+              on="query_id")
+        .join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("__neighbor_id_v")),
+              on="neighbor_id")
+    )
     # rank on ROUNDED cosine (ties broken by neighbor_id) so float noise
     # below the 6th decimal can never flip an ordering across engines or
     # parallelism levels

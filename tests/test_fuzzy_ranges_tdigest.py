@@ -361,3 +361,24 @@ def test_enforce_max_gap_exact_matches_reference_loop(spark):
     for doc, (rs, spans) in cases.items():
         expected = _reference_enforce_max_gap(rs, 10, spans)
         assert [got[doc][i] for i in range(len(rs))] == expected, doc
+
+
+def test_enforce_max_gap_exact_keeps_duplicate_rows(spark):
+    """Exact-duplicate input rows must survive the span-capped path —
+    the collapse after the span join groups on a surrogate row id, not
+    on value equality across every column (regression: groupBy(*cols)
+    silently merged identical ranges when deleted_spans was given)."""
+    from chronominer_spark.operators.ranges import enforce_max_gap_exact
+
+    df = spark.createDataFrame(
+        [("d", 0, 1, 3), ("d", 0, 1, 3), ("d", 1, 30, 35)],  # dup row
+        "doc string, ord long, start long, end long",
+    )
+    spans = spark.createDataFrame(
+        [("d", 10, 14)], "doc string, span_start long, span_end long")
+    out = enforce_max_gap_exact(df, "doc", max_gap=10, order_col="ord",
+                                deleted_spans=spans).collect()
+    assert len(out) == 3  # both duplicates kept
+    # and the span cap still applies: ends extended to span_start-1 = 9
+    ends = sorted(r["end"] for r in out)
+    assert ends[-1] == 35 and 9 in ends

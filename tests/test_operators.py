@@ -383,3 +383,26 @@ def test_dedup_clusters_transitive_chain(spark):
     # keep-one-per-cluster filter yields exactly the component minima
     keep = sorted(i for i, c in got.items() if i == c)
     assert keep == [1, 10, 20]
+
+
+def test_dedup_clusters_nonconvergence_contract(spark):
+    """A similarity chain longer than max_iter hops cannot converge —
+    the default contract is to RAISE (never return silently-wrong split
+    components); on_nonconverged='warn' returns the partial labels."""
+    import pytest
+
+    from chronominer_spark.operators.dedup import dedup_clusters
+
+    # a 12-hop path graph: min-label propagation moves the min one hop
+    # per round, so max_iter=3 cannot finish
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did NOT converge"):
+        dedup_clusters(pairs, max_iter=3)
+    # warn mode returns (partial) labels instead of raising
+    partial = dedup_clusters(pairs, max_iter=3, on_nonconverged="warn")
+    assert partial.count() == 13
+    # with enough rounds the same graph converges to one component
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup_clusters(pairs, max_iter=20).collect()}
+    assert set(got.values()) == {0}
