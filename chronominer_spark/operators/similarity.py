@@ -348,38 +348,50 @@ def ivf_train_distributed(
     iterations on executors) — trains on the FULL corpus with no
     driver-side sample cap, the 100-TB path where :func:`ivf_train`'s
     deliberate ≤20k driver sample would under-represent the space.
-    MLlib optimizes Euclidean distance (the driver trainer assigns by
-    cosine); for IVF cell assignment over normalized-ish embedding
-    spaces both carve equivalent Voronoi cells, and recall is asserted
-    in tests for both trainers. Returns plain ``list[list[float]]`` so
-    the index build/search path is identical for either trainer."""
+    Features are L2-NORMALIZED before ``KMeans.fit`` so MLlib's
+    Euclidean objective coincides with the cosine/dot-product metric
+    the IVF assignment uses (on the unit sphere,
+    ‖a−b‖² = 2 − 2·cos(a,b) — minimizing one maximizes the other);
+    recall is asserted in tests for both trainers. Returns plain
+    ``list[list[float]]`` so the index build/search path is identical
+    for either trainer."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.greatest(norm(v), F.lit(1e-12))
     feats = corpus.select(
         array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            F.transform(v, lambda x: x / nrm)
         ).alias("features")
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=iters).fit(feats)
     return [[float(v) for v in c] for c in model.clusterCenters()]
 
 
-def _nearest_cells(vec_col, cents_col: str, top: int) -> F.Column:
+def _nearest_cells(
+    vec_col, cents_col: str, top: int, sim_round: int | None = None,
+) -> F.Column:
     """Top cells by dot product against the broadcast centroid matrix;
     ties break toward the larger cell id (array_sort + reverse), which
-    is deterministic across engines and parallelism."""
+    is deterministic across engines and parallelism. ``sim_round``
+    rounds the dot product before ordering so summation-order float
+    noise (last-bit differences between engines / parallelism levels)
+    can never flip a cell assignment — required for exact cross-engine
+    oracle mirroring (q31)."""
     v = F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x: x.cast("double"),
     )
+
+    def _sim(c):
+        s = F.aggregate(F.zip_with(v, c, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        return F.round(s, sim_round) if sim_round is not None else s
+
     sims = F.transform(
         F.col(cents_col),
-        lambda c, ci: F.struct(
-            F.aggregate(F.zip_with(v, c, lambda x, y: x * y),
-                        F.lit(0.0), lambda acc, x: acc + x).alias("s"),
-            ci.alias("cell"),
-        ),
+        lambda c, ci: F.struct(_sim(c).alias("s"), ci.alias("cell")),
     )
     return F.slice(F.reverse(F.array_sort(sims)), 1, top)
 
@@ -387,6 +399,7 @@ def _nearest_cells(vec_col, cents_col: str, top: int) -> F.Column:
 def ivf_build_index(
     corpus: DataFrame, centroids: list[list[float]],
     id_col: str = "vec_id", vec_col: str = "embedding",
+    sim_round: int | None = None,
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid cell. Returns
     (neighbor_id, __cv, cell) — an ordinary DataFrame: write it out
@@ -399,18 +412,22 @@ def ivf_build_index(
     )
     return with_cents.select(
         "neighbor_id", "__cv",
-        F.element_at(_nearest_cells("__cv", "__cents", 1), 1)["cell"].alias("cell"),
+        F.element_at(
+            _nearest_cells("__cv", "__cents", 1, sim_round), 1
+        )["cell"].alias("cell"),
     )
 
 
 def ivf_search(
     queries: DataFrame, index: DataFrame, centroids: list[list[float]],
     id_col: str = "vec_id", vec_col: str = "embedding",
-    k: int = 5, n_probe: int = 3,
+    k: int = 5, n_probe: int = 3, sim_round: int | None = None,
 ) -> DataFrame:
     """Probe each query's ``n_probe`` nearest cells of a prebuilt index
     and rank exact cosine within those cells — cost ~ corpus/centroids ×
-    n_probe per query instead of the full corpus."""
+    n_probe per query instead of the full corpus. Ranking is on
+    ROUNDED cosine (ties broken by neighbor_id), the same
+    float-noise-proof total order :func:`lsh_topk` uses."""
     probed = _broadcast_nested(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv")),
@@ -418,14 +435,17 @@ def ivf_search(
     ).select(
         "query_id", "__qv",
         F.explode(
-            F.transform(_nearest_cells("__qv", "__cents", n_probe),
+            F.transform(_nearest_cells("__qv", "__cents", n_probe, sim_round),
                         lambda s: s["cell"])
         ).alias("cell"),
     )
     scored = (
         probed.join(index, on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6),
+        )
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -433,7 +453,7 @@ def ivf_search(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
         .distinct()
     )
 

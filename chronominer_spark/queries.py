@@ -1130,16 +1130,84 @@ SELECT block, gt_id, hyp_id, score FROM walk
 """
 
 
+def _q31_centroids(n: int = 8, dim: int = 64, seed: int = 31) -> list[list[float]]:
+    """Pinned deterministic Rademacher-md5 centroids (same portable
+    scheme as q26's hyperplanes): ±1 per dimension from the md5 top hex
+    char, reproducible in any engine with ``md5()``."""
+    import hashlib
+    return [
+        [1.0 if hashlib.md5(f"{seed}:{c}:{d}".encode()).hexdigest()[0]
+         in "01234567" else -1.0 for d in range(dim)]
+        for c in range(n)
+    ]
+
+
 def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (driver-trained centroids,
-    distributed assignment + probe; rows-only — recall vs brute force
-    asserted in tests)."""
-    from chronominer_spark.operators.similarity import ivf_topk
+    """IVF approximate nearest neighbors over a PINNED deterministic
+    centroid set: the build (cell assignment), probe and ranked search
+    are all DuckDB-mirrorable, so the driver oracle verifies the full
+    assignment+search path exactly. The trainers (driver Lloyd and
+    MLlib k-means||) remain covered by recall-vs-brute-force pytest —
+    their float-summation order is legitimately engine-specific, but the
+    index/search machinery they feed is not, and this query proves it.
+    ``sim_round=6`` makes the cell argmax float-noise-proof across
+    engines (the same discipline as the rounded-cosine ranking)."""
+    from chronominer_spark.operators.similarity import (ivf_build_index,
+                                                        ivf_search)
 
     emb = t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
-    return ivf_topk(q, emb, k=3, n_centroids=8, n_probe=3,
-                    sample_fraction=1.0)
+    cents = _q31_centroids()
+    index = ivf_build_index(emb, cents, sim_round=6)
+    return ivf_search(q, index, cents, k=3, n_probe=3, sim_round=6)
+
+
+# Faithful mirror of q31: centroids re-derived from DuckDB's md5 (same
+# hex as Python hashlib), cell assignment = argmax of round(dot, 6) with
+# ties toward the LARGER cell id (matching _nearest_cells'
+# reverse(array_sort) order), probe = top-3 cells per query by the same
+# order, cosine ranked after round(·, 6) with neighbor_id tiebreak.
+# dim pinned to 64 like the q26 oracle.
+_Q31_SQL = """
+WITH cent AS (
+  SELECT c.range AS cell, d.range AS d,
+         CASE WHEN substr(md5(31 || ':' || c.range || ':' || d.range), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS v
+  FROM range(8) c, range(64) d),
+sims AS (
+  SELECT e.vec_id, cent.cell,
+         round(sum(cent.v * (e.embedding[cent.d + 1])::DOUBLE), 6) AS s
+  FROM embeddings e CROSS JOIN cent
+  GROUP BY e.vec_id, cent.cell),
+assign AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM sims) WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM sims WHERE vec_id < 8) WHERE rn <= 3),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probe p JOIN assign a USING (cell)
+  WHERE p.query_id <> a.neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
 
 
 def q32_group_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1841,11 +1909,12 @@ ORACLES: dict[str, str] = {
     "q30_fuzzy_match": _Q30_SQL,
     "q39_near_dup_clusters": _Q39_SQL,
     "q40_corpus_curation": _Q40_SQL,
-    # q31 stays rows-only: driver-trained k-means centroids have no
-    # faithful SQL mirror (floating-point summation order differs
-    # between numpy and SQL engines, flipping assignments); correctness
-    # is covered by recall-vs-brute-force pytest. q29's sketch VALUE is
-    # likewise unmirrorable, but its bounded-error verdict against the
-    # exact quantile is — that checkable contract is q29's oracle. The
-    # q30 greedy loop IS mirrorable (recursive CTE above) since round 3.
+    "q31_ivf_ann": _Q31_SQL,
+    # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
+    # and MLlib k-means||) remain pytest-covered (recall vs brute force):
+    # their float-summation order is legitimately engine-specific — but
+    # since round 4 the query itself runs the assignment+search path on
+    # pinned md5-derived centroids, which IS exactly mirrorable. q29's
+    # sketch VALUE is unmirrorable, but its bounded-error verdict against
+    # the exact quantile is — that checkable contract is q29's oracle.
 }
