@@ -34,6 +34,7 @@ row-level data.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,8 @@ from pyspark.sql import functions as F
 
 from chronominer_spark.constraints.spec import Constraint, ConstraintSuite
 from chronominer_spark.functions.text import normalize_text
+
+logger = logging.getLogger(__name__)
 
 RESULT_COLUMNS = [
     "partition_id", "constraint_id", "snapshot_id", "passed",
@@ -799,6 +802,59 @@ class SuiteEvaluator:
             .select(*keys, *out)
         )
 
+    def _digest_auto_choice(
+        self, df: DataFrame, ref: DataFrame, c: Constraint,
+    ) -> bool:
+        """Resolve ``digest="auto"``: digest a deterministic conversation
+        sample on both sides and pick the digest prepass iff the observed
+        conv-level mismatch rate is at or below the threshold. The sample
+        is keyed on ``xxhash64(conv) % auto_sample_mod == 0`` so both
+        sides sample the SAME conversations at any parallelism."""
+        p = c.params
+        col = p["col"]
+        keys = list(self.suite.key_cols)
+        conv = keys[0]
+        turn_keys = keys[1:]
+        norm_opts = self._norm_opts(c)
+        mod = int(p.get("auto_sample_mod", 20))
+        threshold = float(p.get("auto_threshold", 0.05))
+
+        def side(s: DataFrame, pfx: str) -> DataFrame:
+            sampled = s.where(
+                F.pmod(F.xxhash64(F.col(conv)), F.lit(mod)) == 0)
+            w = self._stable_winner(sampled, col, norm_opts, pfx)
+            th = F.xxhash64(*turn_keys, F.col(f"{pfx}norm"))
+            return w.groupBy(conv).agg(
+                F.count(F.lit(1)).alias(f"{pfx}n"),
+                F.bit_xor(th).alias(f"{pfx}x"),
+                F.sum(F.pmod(th, F.lit(2 ** 31))).alias(f"{pfx}s"),
+            )
+
+        j = side(df, "_cur_").join(side(ref, "_ref_"), on=conv,
+                                   how="full_outer")
+        ok = (
+            F.col("_cur_n").isNotNull() & F.col("_ref_n").isNotNull()
+            & (F.col("_cur_n") == F.col("_ref_n"))
+            & (F.col("_cur_x") == F.col("_ref_x"))
+            & (F.col("_cur_s") == F.col("_ref_s"))
+        )
+        row = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(~ok, 1).otherwise(0)).alias("bad"),
+        ).collect()[0]
+        if not row["n"]:
+            logger.info("text_equality[%s]: auto sample empty -> direct join",
+                        c.constraint_id)
+            return False
+        rate = row["bad"] / row["n"]
+        choice = rate <= threshold
+        logger.info(
+            "text_equality[%s]: auto sampled %d convs, mismatch rate %.3f "
+            "(threshold %.3f) -> %s", c.constraint_id, row["n"], rate,
+            threshold, "digest prepass" if choice else "direct join",
+        )
+        return choice
+
     def _text_equality(
         self, df: DataFrame, ref: DataFrame, c: Constraint,
         cur_n: DataFrame | None = None, ref_n: DataFrame | None = None,
@@ -828,13 +884,37 @@ class SuiteEvaluator:
         - ``digest=False`` (default): the direct per-turn full-outer
           join for every conversation (the drilldown plan applied
           globally).
+        - ``digest="auto"``: measure, don't guess — a deterministic
+          ~1/``auto_sample_mod`` conversation sample (default 1/20) is
+          digested on BOTH sides first, and the observed conv-level
+          mismatch rate picks the plan: rate ≤ ``auto_threshold``
+          (default 5%) → digest prepass (diffs are rare, the prepass
+          removes the turn-level join for ~95%+ of conversations);
+          above → direct join (dense diffs would drill most
+          conversations anyway, making the prepass pure overhead — the
+          measured crossover on the planted-diff bench, ~15% conv diff
+          rate, sits safely above 5%). The sample costs two filtered
+          narrow scans + a 1-row aggregate; an empty sample falls back
+          to direct.
+
+        DECISION RULE (when setting ``digest`` by hand): prefer the
+        digest prepass iff the expected fraction of conversations with
+        any differing/missing turn is under ~5% — e.g. re-validating a
+        production table against yesterday's snapshot. Use the direct
+        join for first-time validation or after bulk rewrites. If the
+        prior run's manifest reports mismatch counts, expected rate =
+        violating_convs / total_convs of that run.
         """
         p = c.params
         col = p["col"]
         keys = list(self.suite.key_cols)
         norm_opts = self._norm_opts(c)
 
-        if not p.get("digest", False):
+        digest_opt = p.get("digest", False)
+        if digest_opt == "auto":
+            digest_opt = self._digest_auto_choice(df, ref, c)
+
+        if not digest_opt:
             if pre is not None:
                 # shared-scan path: hashes were derived once into the
                 # persisted narrow frames; the raw `df` is only touched

@@ -149,7 +149,9 @@ def text_equality(
     strip_punct: bool = False,
     strip_diacritics: bool = False,
     max_mismatch_rate: float = 0.0,
-    digest: bool = False,
+    digest: bool | str = False,
+    auto_sample_mod: int = 20,
+    auto_threshold: float = 0.05,
 ) -> Constraint:
     """Per-turn text equality vs the reference snapshot under stable turn
     ordering (W1) — normalization knobs mirror the matching config at
@@ -163,12 +165,23 @@ def text_equality(
     than the direct join when diffs are dense (the synthetic suite
     plants diffs in ~15% of conversations, making the digest prepass
     pure overhead — see BENCH/BASELINE.md). ``digest=False`` (default)
-    is the direct per-turn join."""
+    is the direct per-turn join.
+
+    ``digest="auto"`` samples ~1/``auto_sample_mod`` of conversations,
+    digests them on both sides, and turns the prepass on iff the
+    observed conv-level mismatch rate ≤ ``auto_threshold``. Decision
+    rule when choosing by hand: expected fraction of conversations with
+    any diff under ~5% → digest; above → direct (the measured crossover
+    sits between 5% and the bench's planted 15%)."""
+    if digest not in (True, False, "auto"):
+        raise ValueError(
+            f"digest must be True, False or 'auto', got {digest!r}")
     return Constraint(
         f"eq:{col}", "text_equality",
         {"col": col, "lowercase": lowercase, "collapse_ws": collapse_ws,
          "strip_punct": strip_punct, "strip_diacritics": strip_diacritics,
-         "max_mismatch_rate": max_mismatch_rate, "digest": digest},
+         "max_mismatch_rate": max_mismatch_rate, "digest": digest,
+         "auto_sample_mod": auto_sample_mod, "auto_threshold": auto_threshold},
     )
 
 

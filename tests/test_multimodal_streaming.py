@@ -155,3 +155,46 @@ def test_available_now_repass_picks_up_new_files(spark, tmp_path, transcripts):
     # second pass added exactly the new file's rows (no reprocessing)
     assert n2 == transcripts.count()
     assert out2.count() > out1.count()
+
+
+def test_incremental_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming twin of exact_dedup: the same corpus split into 3
+    micro-batches and folded through the content-key state table must
+    yield EXACTLY the batch exact_dedup survivors + dup_counts, and a
+    replayed batch id must be a no-op (at-least-once safety)."""
+    from chronominer_spark.operators.dedup import exact_dedup
+    from chronominer_spark.streaming.dedup_stream import IncrementalExactDedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant cross-batch duplicates: copies of doc 0..9's text under new
+    # ids, landing in DIFFERENT micro-batches than their originals
+    base = docs.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+        "source", "n_chars")
+    full = docs.unionByName(base)
+
+    src = str(tmp_path / "docs_stream")
+    # 3 micro-batch files (maxFilesPerTrigger=1 -> one batch per file)
+    for i in range(3):
+        (full.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    inc = IncrementalExactDedup(
+        spark, str(tmp_path / "dedup_state"), "doc_id", "text")
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = inc.attach(stream, str(tmp_path / "dedup_ckpt"))
+    q.awaitTermination()
+    assert len(inc.table.snapshots()) == 3  # one commit per micro-batch
+
+    batch = exact_dedup(full, "doc_id", "text")
+    got = inc.result()
+    assert got.columns == batch.columns
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+    # replaying an already-committed batch id must not change the state
+    before = inc.table.current_snapshot_id()
+    inc.process_batch(full.limit(5), 0)
+    assert inc.table.current_snapshot_id() == before

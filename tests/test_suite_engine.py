@@ -383,3 +383,50 @@ def test_shared_input_scan_identical_outputs(spark, transcripts, ref_snapshot):
         return out
 
     assert run(True) == run(False)
+
+
+def test_digest_auto_picks_by_observed_diff_rate(spark, transcripts, ref_snapshot):
+    """digest='auto' must pick the digest prepass when the sampled
+    conv-level mismatch rate is low (re-validating a mostly-identical
+    snapshot — the standard fixture's per-turn diff rates put ~3.5% of
+    convs over, under the 5% threshold) and the direct join on a
+    dense-diff snapshot (mutate rate bumped so ~1/3 of convs differ) —
+    and the auto plan's outputs must equal the explicit plans'."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, text_equality
+    from chronominer_spark.datagen import (TranscriptGenConfig,
+                                           generate_reference_snapshot)
+
+    # sample every conversation so the verdict is deterministic at
+    # fixture scale
+    c = text_equality("text", digest="auto", auto_sample_mod=1)
+    suite = ConstraintSuite(name="auto_eq", constraints=(c,))
+    ev = SuiteEvaluator(spark, suite)
+
+    def pid(df):
+        return df.withColumn("_pid", ev._partition_id_col(df))
+
+    # mostly-identical snapshots -> digest prepass
+    assert ev._digest_auto_choice(pid(transcripts), pid(transcripts), c) is True
+    assert ev._digest_auto_choice(pid(transcripts), pid(ref_snapshot), c) is True
+
+    # dense-diff snapshot (~1 - (1-0.0104)^40 ≈ 34% of convs) -> direct
+    dense_cfg = TranscriptGenConfig(
+        n_turns=20_000, n_convs=500, seed=42, n_buckets=8,
+        ref_mutate_rate=1e-2)
+    dense_ref = generate_reference_snapshot(spark, dense_cfg)
+    assert ev._digest_auto_choice(pid(transcripts), pid(dense_ref), c) is False
+
+    def run(suite_name, digest):
+        s = ConstraintSuite(
+            name=suite_name,
+            constraints=(text_equality("text", digest=digest,
+                                       auto_sample_mod=1),))
+        e = SuiteEvaluator(spark, s)
+        res, vio = e.evaluate(transcripts, ref_snapshot, snapshot_id=1)
+        out = (sorted(map(tuple, res.drop("suite_name").collect())),
+               sorted(map(tuple, vio.collect())))
+        e.unpersist_all()
+        return out
+
+    assert run("auto_e2e", "auto") == run("direct_e2e", False)
