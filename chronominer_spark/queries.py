@@ -1826,6 +1826,203 @@ FROM ded GROUP BY source
 _Q40_SQL = _mk_q40_sql()
 
 
+def q41_eval_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EVALUATION lifecycle (the reference's other composed
+    pipeline, ``/root/reference/eval/jsonl_eval.py:366-395`` +
+    ``eval/metrics.py:495-674``): load two keyed snapshots → greedy
+    fuzzy ENTRY matching within blocks (q30's operator) → align every
+    entry on the resulting 1:1 pairing (matched pairs share a key,
+    unmatched hyp entries get a synthetic never-matching key — J2's
+    full-outer semantics over the MATCHING, not the raw ids) →
+    field-level TP/FP/FN + guarded P/R/F1 per field (q11's operator) →
+    micro/macro partial+final summary (A2/A3). One composed plan whose
+    every stage is individually oracle-verified; this query verifies
+    the composition.
+
+    Planted structure: hyp drops every 5th doc (unmatched gt → FN),
+    gt drops every 9th (unmatched hyp → FP), hyp mutates lang on every
+    7th doc and shifts n_chars on every 11th (matched-pair field
+    mismatches)."""
+    from chronominer_spark.operators.evalmetrics import (field_metrics,
+                                                         micro_macro_summary)
+    from chronominer_spark.operators.fuzzy import fuzzy_match
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    block = (F.col("doc_id") % 80).cast("string").alias("block")
+    gt_e = d.where(F.col("doc_id") % 9 != 0).select(
+        block, F.col("doc_id").alias("gt_id"),
+        F.substring("text", 1, 80).alias("snippet"),
+        "lang", "source", "n_chars",
+    )
+    hyp_e = d.where(F.col("doc_id") % 5 != 0).select(
+        block, (F.col("doc_id") + 1_000_000).alias("hyp_id"),
+        F.substring(F.concat(F.col("text"), F.lit(" x")), 1, 80)
+        .alias("snippet"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("lang"),
+        "source",
+        (F.col("n_chars")
+         + (F.col("doc_id") % 11 == 0).cast("long")).alias("n_chars"),
+    )
+    matches = fuzzy_match(
+        gt_e.select("block", "gt_id", "snippet"),
+        hyp_e.select("block", "hyp_id", "snippet"),
+        ["block"], "snippet", threshold=0.85,
+    )
+    hyp_k = (
+        hyp_e.join(matches.select("hyp_id", "gt_id"), on="hyp_id", how="left")
+        .withColumn("k", F.coalesce(F.col("gt_id"), -F.col("hyp_id")))
+    )
+    gt_k = gt_e.withColumn("k", F.col("gt_id"))
+    fields = ["lang", "source", "n_chars"]
+    m = field_metrics(hyp_k.select("k", *fields), gt_k.select("k", *fields),
+                      ["k"], fields)
+    s = micro_macro_summary(m)
+    # micro carries the summed counts; macro's counts are 0 by convention
+    # (a macro average has no natural count; an all-BIGINT column keeps
+    # the cross-engine compare type-stable — a nullable BIGINT round-trips
+    # through pandas as float64 on the DuckDB side)
+    totals = m.agg(F.sum("tp").alias("__tp"), F.sum("fp").alias("__fp"),
+                   F.sum("fn").alias("__fn"))
+    s = s.crossJoin(totals).select(
+        F.col("granularity").alias("metric"),
+        F.when(F.col("granularity") == "micro", F.col("__tp"))
+        .otherwise(F.lit(0)).cast("long").alias("tp"),
+        F.when(F.col("granularity") == "micro", F.col("__fp"))
+        .otherwise(F.lit(0)).cast("long").alias("fp"),
+        F.when(F.col("granularity") == "micro", F.col("__fn"))
+        .otherwise(F.lit(0)).cast("long").alias("fn"),
+        "precision", "recall", "f1",
+    )
+    return m.select(
+        F.col("field").alias("metric"), "tp", "fp", "fn",
+        "precision", "recall", "f1",
+    ).unionByName(s)
+
+
+# Composition oracle: q30's recursive-CTE greedy walk over the q41
+# snapshots, q11's per-field counting over the pairing-keyed full-outer
+# alignment, and the micro/macro summary — each fragment mirrors the
+# already-verified per-stage oracle.
+_Q41_SQL = f"""
+WITH RECURSIVE g AS (
+  SELECT (doc_id % 80)::VARCHAR AS block, doc_id AS gt_id,
+         {_NORM_SQL.format(col="substr(text, 1, 80)")} AS gn,
+         lang, source, n_chars
+  FROM documents WHERE doc_id < 400 AND doc_id % 9 <> 0),
+h AS (
+  SELECT (doc_id % 80)::VARCHAR AS block, doc_id + 1000000 AS hyp_id,
+         {_NORM_SQL.format(col="substr(text || ' x', 1, 80)")} AS hn,
+         CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+         source,
+         n_chars + (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS n_chars
+  FROM documents WHERE doc_id < 400 AND doc_id % 5 <> 0),
+cand AS (
+  SELECT block, gt_id, hyp_id,
+         round(CASE WHEN greatest(length(gn), length(hn)) = 0 THEN 1.0
+               ELSE 1.0 - levenshtein(gn, hn)::DOUBLE
+                          / greatest(length(gn), length(hn)) END, 6) AS score
+  FROM g JOIN h USING (block)
+  WHERE (CASE WHEN greatest(length(gn), length(hn)) = 0 THEN 1.0
+         ELSE 1.0 - levenshtein(gn, hn)::DOUBLE
+                    / greatest(length(gn), length(hn)) END) >= 0.85),
+walk AS (
+  SELECT block, gt_id, hyp_id, score, [gt_id] AS ug, [hyp_id] AS uh
+  FROM (SELECT *, row_number() OVER (PARTITION BY block
+          ORDER BY score DESC, gt_id, hyp_id) AS rn FROM cand)
+  WHERE rn = 1
+  UNION ALL
+  SELECT w.block, nxt.gt_id, nxt.hyp_id, nxt.score,
+         list_append(w.ug, nxt.gt_id), list_append(w.uh, nxt.hyp_id)
+  FROM walk w, LATERAL (
+    SELECT c.gt_id, c.hyp_id, c.score FROM cand c
+    WHERE c.block = w.block
+      AND NOT list_contains(w.ug, c.gt_id)
+      AND NOT list_contains(w.uh, c.hyp_id)
+    ORDER BY c.score DESC, c.gt_id, c.hyp_id
+    LIMIT 1) nxt),
+mt AS (SELECT gt_id, hyp_id FROM walk),
+hk AS (
+  SELECT coalesce(mt.gt_id, -h.hyp_id) AS k, h.lang, h.source, h.n_chars
+  FROM h LEFT JOIN mt ON h.hyp_id = mt.hyp_id),
+gk AS (SELECT gt_id AS k, lang, source, n_chars FROM g),
+j AS (
+  SELECT hk.k AS hkk, gk.k AS gkk,
+         hk.lang AS hl, gk.lang AS gl,
+         hk.source AS hs, gk.source AS gs,
+         hk.n_chars AS hn, gk.n_chars AS gn
+  FROM hk FULL OUTER JOIN gk ON hk.k = gk.k),
+counts AS (
+  SELECT 'lang' AS metric,
+         sum(CASE WHEN hkk IS NOT NULL AND gkk IS NOT NULL
+                   AND hl IS NOT DISTINCT FROM gl THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN (hkk IS NOT NULL AND gkk IS NOT NULL
+                        AND hl IS DISTINCT FROM gl AND hl IS NOT NULL)
+                    OR (gkk IS NULL AND hl IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN (hkk IS NOT NULL AND gkk IS NOT NULL
+                        AND hl IS DISTINCT FROM gl AND gl IS NOT NULL)
+                    OR (hkk IS NULL AND gl IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM j
+  UNION ALL
+  SELECT 'source',
+         sum(CASE WHEN hkk IS NOT NULL AND gkk IS NOT NULL
+                   AND hs IS NOT DISTINCT FROM gs THEN 1 ELSE 0 END)::BIGINT,
+         sum(CASE WHEN (hkk IS NOT NULL AND gkk IS NOT NULL
+                        AND hs IS DISTINCT FROM gs AND hs IS NOT NULL)
+                    OR (gkk IS NULL AND hs IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT,
+         sum(CASE WHEN (hkk IS NOT NULL AND gkk IS NOT NULL
+                        AND hs IS DISTINCT FROM gs AND gs IS NOT NULL)
+                    OR (hkk IS NULL AND gs IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT
+  FROM j
+  UNION ALL
+  SELECT 'n_chars',
+         sum(CASE WHEN hkk IS NOT NULL AND gkk IS NOT NULL
+                   AND hn IS NOT DISTINCT FROM gn THEN 1 ELSE 0 END)::BIGINT,
+         sum(CASE WHEN (hkk IS NOT NULL AND gkk IS NOT NULL
+                        AND hn IS DISTINCT FROM gn AND hn IS NOT NULL)
+                    OR (gkk IS NULL AND hn IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT,
+         sum(CASE WHEN (hkk IS NOT NULL AND gkk IS NOT NULL
+                        AND hn IS DISTINCT FROM gn AND gn IS NOT NULL)
+                    OR (hkk IS NULL AND gn IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT
+  FROM j),
+ratios AS (
+  SELECT metric, tp, fp, fn,
+         round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END, 6) AS precision,
+         round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END, 6) AS recall,
+         round(CASE WHEN (CASE WHEN tp+fp=0 THEN 0.0 ELSE tp/(tp+fp) END)
+                       + (CASE WHEN tp+fn=0 THEN 0.0 ELSE tp/(tp+fn) END) = 0 THEN 0.0
+               ELSE 2 * (CASE WHEN tp+fp=0 THEN 0.0 ELSE tp/(tp+fp) END)
+                      * (CASE WHEN tp+fn=0 THEN 0.0 ELSE tp/(tp+fn) END)
+                    / ((CASE WHEN tp+fp=0 THEN 0.0 ELSE tp/(tp+fp) END)
+                       + (CASE WHEN tp+fn=0 THEN 0.0 ELSE tp/(tp+fn) END)) END, 6) AS f1
+  FROM counts),
+micro AS (
+  SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn
+  FROM ratios),
+micro_row AS (
+  SELECT 'micro' AS metric, tp, fp, fn,
+         round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END, 6) AS precision,
+         round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END, 6) AS recall,
+         round(CASE WHEN (CASE WHEN tp+fp=0 THEN 0.0 ELSE tp::DOUBLE/(tp+fp) END)
+                       + (CASE WHEN tp+fn=0 THEN 0.0 ELSE tp::DOUBLE/(tp+fn) END) = 0 THEN 0.0
+               ELSE 2 * (CASE WHEN tp+fp=0 THEN 0.0 ELSE tp::DOUBLE/(tp+fp) END)
+                      * (CASE WHEN tp+fn=0 THEN 0.0 ELSE tp::DOUBLE/(tp+fn) END)
+                    / ((CASE WHEN tp+fp=0 THEN 0.0 ELSE tp::DOUBLE/(tp+fp) END)
+                       + (CASE WHEN tp+fn=0 THEN 0.0 ELSE tp::DOUBLE/(tp+fn) END)) END, 6) AS f1
+  FROM micro),
+macro_row AS (
+  SELECT 'macro' AS metric, 0::BIGINT AS tp, 0::BIGINT AS fp,
+         0::BIGINT AS fn,
+         round(avg(precision), 6) AS precision,
+         round(avg(recall), 6) AS recall,
+         round(avg(f1), 6) AS f1
+  FROM ratios)
+SELECT metric, tp, fp, fn, precision, recall, f1 FROM ratios
+UNION ALL SELECT * FROM micro_row
+UNION ALL SELECT * FROM macro_row
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -1867,6 +2064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_gap_enforcement_exact": q38_gap_enforcement_exact,
     "q39_near_dup_clusters": q39_near_dup_clusters,
     "q40_corpus_curation": q40_corpus_curation,
+    "q41_eval_lifecycle": q41_eval_lifecycle,
 }
 
 ORACLES: dict[str, str] = {
@@ -1910,6 +2108,7 @@ ORACLES: dict[str, str] = {
     "q39_near_dup_clusters": _Q39_SQL,
     "q40_corpus_curation": _Q40_SQL,
     "q31_ivf_ann": _Q31_SQL,
+    "q41_eval_lifecycle": _Q41_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
