@@ -276,9 +276,12 @@ def scale_one(cores: str, n_turns: int) -> None:
     """One parallelism level, steady state: a warmup pass first (JVM JIT
     + page cache — a fresh JVM's first suite run is 2-5x slower than its
     second, which would otherwise dominate the comparison), then the
-    best of two measured trials."""
+    best of two measured trials. SPARK_GRAFT_WARMUP_TURNS can shrink the
+    warmup input (JIT/codegen warmup doesn't need the full table; the
+    80M-turn campaign warms at 8M to halve campaign wall)."""
     spark = _session(cores, shuffle=int(cores))
-    _run_suite(spark, n_turns)  # warmup (discarded)
+    warm_turns = int(os.environ.get("SPARK_GRAFT_WARMUP_TURNS", n_turns))
+    _run_suite(spark, warm_turns)  # warmup (discarded)
     walls = []
     fp = None
     # local-cluster levels take ~2x local[] wall; SPARK_GRAFT_SCALE_TRIALS=1

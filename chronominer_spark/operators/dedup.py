@@ -352,6 +352,7 @@ def ngram_jaccard_pairs(
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     max_iter: int = 20, on_nonconverged: str = "raise",
+    shortcut: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the
     canonicalization step after :func:`lsh_candidate_pairs` /
@@ -369,6 +370,15 @@ def dedup_clusters(
     driver-side but touches only per-round CHANGE COUNTS (a 1-row
     aggregate), never rows; labels are localCheckpoint'ed each round so
     lineage stays flat across iterations.
+
+    ``shortcut=True`` adds a pointer-jumping step per round
+    (``label ← label(label)``, one extra self-equi-join on the compact
+    label table): pointer depth halves each round, so a path component
+    of diameter d converges in O(log d) rounds instead of O(d) — the
+    right mode when chains may be deep (adversarial near-dup chains at
+    corpus scale). Off by default: near-dup components are typically
+    2–3 hops and the extra join is pure overhead there. Both modes
+    reach the identical fixed point.
 
     Convergence is a CONTRACT, not a hope: if ``max_iter`` rounds pass
     without reaching a fixed point (a similarity chain longer than
@@ -414,6 +424,18 @@ def dedup_clusters(
                                   F.coalesce("__nl", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
+        if shortcut:
+            # pointer jumping over the (already materialized) label
+            # table: my new label = min(label, label-of-my-label)
+            ll = new_labels.select(F.col("id").alias("label"),
+                                   F.col("label").alias("__ll"))
+            new_labels = (
+                new_labels.join(ll, on="label", how="left")
+                .select("id", F.least(F.col("label"),
+                                      F.coalesce("__ll", "label"))
+                        .alias("label"))
+                .localCheckpoint(eager=True)
+            )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")

@@ -406,3 +406,19 @@ def test_dedup_clusters_nonconvergence_contract(spark):
     got = {r["id"]: r["cluster_id"]
            for r in dedup_clusters(pairs, max_iter=20).collect()}
     assert set(got.values()) == {0}
+
+
+def test_dedup_clusters_shortcut_mode_converges_fast(spark):
+    """Pointer-jumping mode must close a deep chain in O(log d) rounds —
+    a 40-hop path converges within max_iter=8 (plain mode needs 40) and
+    reaches the identical fixed point as the default mode."""
+    from chronominer_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    fast = {r["id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, max_iter=8, shortcut=True).collect()}
+    assert set(fast.values()) == {0} and len(fast) == 41
+    slow = {r["id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, max_iter=50).collect()}
+    assert fast == slow
