@@ -164,6 +164,56 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    signatures: DataFrame, id_col: str, bands: int = 4,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Banded-LSH bucket rows: (id, band, bucket) — ``bands`` rows per
+    doc, bucket = md5 of the band's signature slice. The shared banding
+    of :func:`lsh_candidate_pairs` (batch self-join) and
+    ``IncrementalNearDup`` (streaming new-vs-state join); both sides of
+    any join MUST use identical (bands, num_hashes) or buckets never
+    collide. ``num_hashes`` (when known) is validated divisible by
+    ``bands``; the same check also runs row-level in the plan so a
+    mismatched signature fails loudly instead of losing recall."""
+    if num_hashes is not None and num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}: "
+            "trailing signature entries would be excluded from banding"
+        )
+    sig = signatures.select(F.col(id_col).alias("id"), "signature")
+    n = F.size("signature")
+    r = (n / bands).cast("int")
+    # row-level guard woven into the bucket value (so Catalyst cannot
+    # prune it): a signature whose length is not divisible by bands
+    # fails the job instead of silently shrinking each band
+    guard = F.when(n % bands == 0, F.lit("")).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"signature length not divisible by bands={bands}: "),
+            n.cast("string"),
+        ))
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat(
+                        F.md5(F.array_join(
+                            F.transform(F.slice("signature", b * r + 1, r),
+                                        lambda x: x.cast("string")),
+                            ",",
+                        )),
+                        guard,
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, bands: int = 4,
     num_hashes: int | None = None,
@@ -186,42 +236,7 @@ def lsh_candidate_pairs(
     never a silent cap. Docs in a dropped bucket can still pair through
     their other bands. Pass ``None`` to disable (exact small-scale
     runs)."""
-    if num_hashes is not None and num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes={num_hashes} must be divisible by bands={bands}: "
-            "trailing signature entries would be excluded from banding"
-        )
-    sig = signatures.select(F.col(id_col).alias("id"), "signature")
-    n = F.size("signature")
-    r = (n / bands).cast("int")
-    # row-level guard woven into the bucket value (so Catalyst cannot
-    # prune it): a signature whose length is not divisible by bands
-    # fails the job instead of silently shrinking each band
-    guard = F.when(n % bands == 0, F.lit("")).otherwise(
-        F.raise_error(F.concat(
-            F.lit(f"signature length not divisible by bands={bands}: "),
-            n.cast("string"),
-        ))
-    )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat(
-                        F.md5(F.array_join(
-                            F.transform(F.slice("signature", b * r + 1, r),
-                                        lambda x: x.cast("string")),
-                            ",",
-                        )),
-                        guard,
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = band_buckets(signatures, id_col, bands, num_hashes)
 
     cached = None
     if max_bucket_size is not None:

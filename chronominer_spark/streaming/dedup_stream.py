@@ -39,8 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from chronominer_spark.operators.dedup import content_key
-from chronominer_spark.tables import SnapshotTable
+from chronominer_spark.operators.dedup import (
+    band_buckets,
+    content_key,
+    minhash_signatures,
+)
+from chronominer_spark.tables import AppendLog, SnapshotTable
 
 
 class IncrementalExactDedup:
@@ -126,3 +130,113 @@ class IncrementalExactDedup:
         return state.select(
             *[F.col(f"__w.{c}").alias(c) for c in winner_cols], "dup_count"
         )
+
+
+class IncrementalNearDup:
+    """Incremental MinHash+banded-LSH near-duplicate CANDIDATE detection
+    — the streaming twin of :func:`minhash_signatures` +
+    :func:`lsh_candidate_pairs`.
+
+    State is the append-only band-bucket log ``(id, band, bucket)`` —
+    ``bands`` rows per doc ever ingested, committed one immutable
+    segment per micro-batch (:class:`AppendLog`, O(batch) write — the
+    sandbox analog of an Iceberg append). Each micro-batch:
+
+    1. signatures + band buckets for the NEW docs only (the per-doc
+       sketch is computed exactly once, at arrival);
+    2. candidate pairs = new×new (self-join, ``id_a < id_b``) ∪
+       new×state (equi-join on (band, bucket), pair oriented
+       least/greatest) — every unordered pair is emitted exactly once,
+       by the batch in which its LATER doc arrived;
+    3. pairs appended to the pairs log, then the new buckets appended
+       to the state log, both labeled by batch id. Replays skip each
+       append whose label already exists; the pairs-before-buckets
+       order makes the crash window safe (buckets-present/pairs-absent
+       cannot occur, so a replay never double-counts or pairs a batch
+       against its own buckets).
+
+    Invariant (asserted in tests): the union of all per-batch pair
+    outputs equals batch ``lsh_candidate_pairs`` over the full corpus —
+    banding is shared via :func:`band_buckets`, so bucket collisions
+    are bit-identical between the two paths. Downstream exact
+    verification (``ngram_jaccard_pairs``) applies unchanged to the
+    emitted pairs.
+
+    Note the hot-bucket guard is per-batch new-vs-state here; a bucket
+    growing hot ACROSS batches grows candidate emission linearly per
+    batch — cap it by compacting the state log against a bucket-size
+    blocklist during maintenance, as a real table format would."""
+
+    def __init__(
+        self, spark: SparkSession, state_root: str,
+        id_col: str, text_col: str,
+        k: int = 3, num_hashes: int = 16, bands: int = 4,
+    ):
+        if num_hashes % bands != 0:
+            raise ValueError(
+                f"num_hashes={num_hashes} must be divisible by bands={bands}")
+        self.spark = spark
+        self.buckets = AppendLog(spark, f"{state_root}/buckets")
+        self.pairs = AppendLog(spark, f"{state_root}/pairs")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+
+    def _has_label(self, log: AppendLog, label: str) -> bool:
+        return any(s.startswith(f"{label}-") for s in log._segments())
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        pairs_label = f"neardup_pairs_batch={batch_id}"
+        buckets_label = f"neardup_buckets_batch={batch_id}"
+        pairs_done = self._has_label(self.pairs, pairs_label)
+        buckets_done = self._has_label(self.buckets, buckets_label)
+        if pairs_done and buckets_done:
+            return
+        sigs = minhash_signatures(batch_df, self.id_col, self.text_col,
+                                  k=self.k, num_hashes=self.num_hashes)
+        new_b = band_buckets(sigs, self.id_col, self.bands,
+                             self.num_hashes).localCheckpoint(eager=True)
+        if not pairs_done:
+            a, b = new_b.alias("a"), new_b.alias("b")
+            within = (
+                a.join(b, on=["band", "bucket"])
+                .where(F.col("a.id") < F.col("b.id"))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"))
+            )
+            state = self.buckets.read()
+            if state is not None:
+                s = state.alias("s")
+                cross = (
+                    new_b.alias("n").join(s, on=["band", "bucket"])
+                    .where(F.col("n.id") != F.col("s.id"))
+                    .select(
+                        F.least(F.col("n.id"), F.col("s.id")).alias("id_a"),
+                        F.greatest(F.col("n.id"), F.col("s.id")).alias("id_b"),
+                    )
+                )
+                within = within.unionByName(cross)
+            self.pairs.append(within.distinct(), label=pairs_label)
+        if not buckets_done:
+            self.buckets.append(new_b, label=buckets_label)
+
+    def attach(self, stream_df: DataFrame,
+               checkpoint_dir: str) -> StreamingQuery:
+        return (
+            stream_df.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def result(self) -> DataFrame:
+        """All near-dup candidate pairs found so far (distinct
+        (id_a, id_b), id_a < id_b — batch ``lsh_candidate_pairs``'
+        output shape)."""
+        p = self.pairs.read()
+        if p is None:
+            return self.spark.createDataFrame([], "id_a long, id_b long")
+        return p.distinct()

@@ -198,3 +198,50 @@ def test_incremental_exact_dedup_matches_batch(spark, tmp_path):
     before = inc.table.current_snapshot_id()
     inc.process_batch(full.limit(5), 0)
     assert inc.table.current_snapshot_id() == before
+
+
+def test_incremental_near_dup_matches_batch_lsh(spark, tmp_path):
+    """Streaming twin of minhash+banded LSH: the union of per-batch
+    candidate pairs over 3 micro-batches must equal batch
+    lsh_candidate_pairs on the full corpus (shared banding -> identical
+    bucket collisions), and a replayed batch id must be a no-op."""
+    from chronominer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from chronominer_spark.streaming.dedup_stream import IncrementalNearDup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant near-dups whose original and copy land in DIFFERENT batches
+    # (doc_id % 3 differs between n and n+100002)
+    copies = docs.limit(12).select(
+        (F.col("doc_id") + 100002).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars")
+    full = docs.unionByName(copies)
+
+    src = str(tmp_path / "nd_stream")
+    for i in range(3):
+        (full.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    inc = IncrementalNearDup(spark, str(tmp_path / "nd_state"),
+                             "doc_id", "text", k=3, num_hashes=16, bands=4)
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = inc.attach(stream, str(tmp_path / "nd_ckpt"))
+    q.awaitTermination()
+
+    batch = lsh_candidate_pairs(
+        minhash_signatures(full, "doc_id", "text", k=3, num_hashes=16),
+        "doc_id", bands=4, max_bucket_size=None)
+    got = {(r["id_a"], r["id_b"]) for r in inc.result().collect()}
+    want = {(r["id_a"], r["id_b"]) for r in batch.collect()}
+    assert got == want and len(want) >= 12  # planted cross-batch pairs found
+
+    # replay: both logs already carry this batch id -> no new segments
+    n_pair_segs = len(inc.pairs._segments())
+    n_bucket_segs = len(inc.buckets._segments())
+    inc.process_batch(full.limit(5), 0)
+    assert len(inc.pairs._segments()) == n_pair_segs
+    assert len(inc.buckets._segments()) == n_bucket_segs

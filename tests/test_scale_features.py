@@ -226,3 +226,27 @@ def test_ivf_distributed_trainer_recall(vectors):
                    distributed_train=True)
     hits = ann.join(bf, ["query_id", "neighbor_id"]).count()
     assert hits / bf.count() >= 0.9
+
+
+def test_plan_shape_lsh_topk_candidates_carry_no_vectors(spark):
+    """Round-4 regression guard: lsh_topk's candidate generation (bucket
+    join + distinct + checkpoint) must carry ONLY (query_id,
+    neighbor_id) — the embedding vectors are re-joined by key AFTER.
+    Carrying vectors through the candidate exchanges multiplied shuffle
+    bytes by 2x dim per pair (measured 2x wall regression at sf0.1).
+    Witness: the distinct's HashAggregate output is exactly the id
+    pair, no __*_v column."""
+    import hashlib
+
+    from chronominer_spark.operators.similarity import lsh_topk
+    from chronominer_spark.plans.inspect import physical_plan
+
+    rows = [(i, [float(hashlib.md5(f"{i}:{d}".encode()).digest()[0] - 128)
+                 for d in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = physical_plan(lsh_topk(df, df, k=3, dim=8, n_bits=4, n_tables=4,
+                               max_bucket_size=None))
+    agg_lines = [ln for ln in p.splitlines()
+                 if "HashAggregate(keys=[query_id" in ln]
+    assert agg_lines, p
+    assert all("_v" not in ln for ln in agg_lines), agg_lines
