@@ -615,12 +615,16 @@ def q19_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mk_q19_sql(num_hashes: int = 16, bands: int = 8, prime: int = 1_000_000_007) -> str:
+def _mk_q19_sql(num_hashes: int = 16, bands: int = 8, prime: int = 1_000_000_007,
+                candidates_only: bool = False) -> str:
     """DuckDB mirror of the full MinHash→band→bucket-join→Jaccard-verify
     pipeline (portable md5 double-hashing, same constants as q19). The
     hot-bucket guard is intentionally absent: at oracle scale no bucket
     approaches the cap, so guarded and unguarded pipelines agree —
-    guard behavior is pytest-covered instead."""
+    guard behavior is pytest-covered instead. ``candidates_only`` stops
+    after the band-bucket join (the q42 incremental-ingest oracle: the
+    streaming path emits candidates; verification is a downstream
+    stage)."""
     r = num_hashes // bands
     mins = ",\n         ".join(
         f"min((h1 + {i} * h2) % {prime})::BIGINT AS m{i}"
@@ -635,7 +639,7 @@ def _mk_q19_sql(num_hashes: int = 16, bands: int = 8, prime: int = 1_000_000_007
         )
         for b in range(bands)
     )
-    return f"""
+    prefix = f"""
 WITH norm AS (
   SELECT doc_id,
          string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
@@ -661,7 +665,12 @@ banded AS (
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b USING (band, bucket)
-  WHERE a.doc_id < b.doc_id),
+  WHERE a.doc_id < b.doc_id)"""
+    if candidates_only:
+        return prefix + """
+SELECT id_a, id_b FROM pairs
+"""
+    return prefix + """,
 sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
 inter AS (
   SELECT p.id_a, p.id_b, count(*)::BIGINT AS i
@@ -2023,6 +2032,37 @@ UNION ALL SELECT * FROM macro_row
 """
 
 
+def q42_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-semantics near-dup detection, driver-verified: the
+    documents table is ingested as three deterministic micro-batches
+    (doc_id % 3) through :class:`IncrementalNearDup`'s foreachBatch fold
+    (append-only band-bucket state; each pair emitted once, at the batch
+    where its later doc arrives) and the union of per-batch emissions is
+    returned. The oracle is the BATCH banded-LSH candidate set over the
+    full corpus — the exactly-once-across-batches contract is therefore
+    checked by the driver, not just pytest. State lives in a throwaway
+    temp dir; the result is checkpointed off it before cleanup."""
+    import shutil
+    import tempfile
+
+    from chronominer_spark.streaming.dedup_stream import IncrementalNearDup
+
+    d = t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="cm_q42_")
+    try:
+        inc = IncrementalNearDup(spark, root, "doc_id", "text",
+                                 k=3, num_hashes=16, bands=8)
+        for i in range(3):
+            inc.process_batch(
+                d.where(F.pmod(F.col("doc_id"), F.lit(3)) == i), i)
+        return inc.result().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_Q42_SQL = _mk_q19_sql(candidates_only=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2065,6 +2105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_near_dup_clusters": q39_near_dup_clusters,
     "q40_corpus_curation": q40_corpus_curation,
     "q41_eval_lifecycle": q41_eval_lifecycle,
+    "q42_incremental_near_dup": q42_incremental_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2109,6 +2150,7 @@ ORACLES: dict[str, str] = {
     "q40_corpus_curation": _Q40_SQL,
     "q31_ivf_ann": _Q31_SQL,
     "q41_eval_lifecycle": _Q41_SQL,
+    "q42_incremental_near_dup": _Q42_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
