@@ -2063,6 +2063,36 @@ def q42_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q42_SQL = _mk_q19_sql(candidates_only=True)
 
 
+def q43_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-semantics exact dedup, driver-verified: documents are
+    ingested as three deterministic micro-batches (doc_id % 3) through
+    :class:`IncrementalExactDedup`'s compacted content-key state fold,
+    then the survivors are profiled per source exactly like q17 — the
+    oracle IS q17's SQL, so the driver checks that the incremental fold
+    and the one-shot batch dedup reach the same fixed point (the
+    min-struct winner and summed dup_count folds are associative and
+    commutative; this proves it across an arbitrary batch split)."""
+    import shutil
+    import tempfile
+
+    from chronominer_spark.streaming.dedup_stream import IncrementalExactDedup
+
+    d = t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="cm_q43_")
+    try:
+        inc = IncrementalExactDedup(spark, root, "doc_id", "text")
+        for i in range(3):
+            inc.process_batch(
+                d.where(F.pmod(F.col("doc_id"), F.lit(3)) == i), i)
+        kept = inc.result().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum((F.col("dup_count") > 1).cast("long")).alias("kept_with_dups"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2106,6 +2136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_corpus_curation": q40_corpus_curation,
     "q41_eval_lifecycle": q41_eval_lifecycle,
     "q42_incremental_near_dup": q42_incremental_near_dup,
+    "q43_incremental_exact_dedup": q43_incremental_exact_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2151,6 +2182,7 @@ ORACLES: dict[str, str] = {
     "q31_ivf_ann": _Q31_SQL,
     "q41_eval_lifecycle": _Q41_SQL,
     "q42_incremental_near_dup": _Q42_SQL,
+    "q43_incremental_exact_dedup": _Q17_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
