@@ -139,6 +139,54 @@ class SnapshotTable:
         self._commit_pointer(sid, operation)
         return sid
 
+    def write_snapshot_partial(
+        self,
+        touched_df: DataFrame,
+        partition_by: str,
+        touched_values: list,
+        operation: str = "merge",
+    ) -> int:
+        """Partition-level merge commit: write ONLY the touched
+        partitions of ``partition_by`` into the new snapshot and
+        carry every other partition forward from the current snapshot
+        by hard-linking its files — the plain-parquet analog of an
+        Iceberg ``MERGE INTO`` commit, whose new snapshot manifest
+        references the untouched data files of the old one instead of
+        rewriting them. Write cost is O(touched partitions), commit is
+        still the atomic pointer flip, and older snapshots stay
+        readable (hard links share inodes; both directories remain
+        valid until both are deleted).
+
+        ``touched_df`` must contain exactly the merged rows of the
+        touched partitions (its ``partition_by`` values ⊆
+        ``touched_values``). Falls back to a plain full write when
+        there is no current snapshot."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return self.write_snapshot(touched_df,
+                                       partition_by=[partition_by],
+                                       operation=operation)
+        sid = cur + 1
+        path = os.path.join(self.root, f"v{sid}")
+        touched_df.write.mode("overwrite") \
+            .partitionBy(partition_by).parquet(path)
+        touched_dirs = {f"{partition_by}={v}" for v in touched_values}
+        prev = os.path.join(self.root, f"v{cur}")
+        for entry in os.listdir(prev):
+            if not entry.startswith(f"{partition_by}="):
+                continue
+            if entry in touched_dirs:
+                continue
+            src_dir = os.path.join(prev, entry)
+            dst_dir = os.path.join(path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in os.listdir(src_dir):
+                if f.startswith("."):
+                    continue
+                os.link(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+        self._commit_pointer(sid, operation)
+        return sid
+
     # -- read ---------------------------------------------------------------
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         return self.spark.read.parquet(self.snapshot_path(snapshot_id))

@@ -245,3 +245,49 @@ def test_incremental_near_dup_matches_batch_lsh(spark, tmp_path):
     inc.process_batch(full.limit(5), 0)
     assert len(inc.pairs._segments()) == n_pair_segs
     assert len(inc.buckets._segments()) == n_bucket_segs
+
+
+def test_incremental_dedup_partial_commit_links_untouched_buckets(spark, tmp_path):
+    """The merge commit must rewrite only the buckets the batch touches:
+    a 1-doc second batch leaves every other bucket's files carried
+    forward as HARD LINKS (same inode) from the previous snapshot, and
+    the folded state still matches batch exact_dedup."""
+    import os
+
+    from chronominer_spark.operators.dedup import exact_dedup
+    from chronominer_spark.streaming.dedup_stream import IncrementalExactDedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    one = docs.where(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang",
+        "source", "n_chars")
+
+    inc = IncrementalExactDedup(
+        spark, str(tmp_path / "st"), "doc_id", "text", n_buckets=16)
+    inc.process_batch(docs, 0)
+    inc.process_batch(one, 1)
+
+    v1, v2 = inc.table.snapshot_path(1), inc.table.snapshot_path(2)
+
+    def inodes(root):
+        out = {}
+        for entry in os.listdir(root):
+            if not entry.startswith("__bucket="):
+                continue
+            for f in os.listdir(os.path.join(root, entry)):
+                if f.endswith(".parquet"):
+                    out[f"{entry}/{f}"] = os.stat(
+                        os.path.join(root, entry, f)).st_ino
+        return out
+    i1, i2 = inodes(v1), inodes(v2)
+    carried = {k for k in i1 if k in i2 and i1[k] == i2[k]}
+    rewritten_dirs = {k.split("/")[0] for k in i2} - \
+        {k.split("/")[0] for k in carried}
+    assert len(carried) >= 10          # most buckets carried by hard link
+    assert len(rewritten_dirs) == 1    # exactly the touched bucket rewritten
+
+    full = docs.unionByName(one)
+    batch = exact_dedup(full, "doc_id", "text")
+    got = inc.result()
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
