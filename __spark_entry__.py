@@ -3,10 +3,11 @@
 - ``entry(spark)``: flagship query smoke check at sf0.001.
 - ``queries()``: one entry per implemented operator from SURVEY.md §2,
   resolved from :mod:`chronominer_spark.queries`.
-- ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents; entries absent
-  for non-SQL-expressible ops (engine-specific hashes, LSH banding) —
-  those get the driver's rows-only check and are covered by in-repo
-  pytest oracles instead.
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents — one per
+  query since round 4 (sequential/iterative operators are mirrored as
+  recursive CTEs; approximate sketches as bounded-error verdict
+  contracts; the IVF path runs on pinned md5-derived centroids so even
+  ANN is exactly mirrorable).
 """
 
 from __future__ import annotations

@@ -291,3 +291,9 @@ def test_incremental_dedup_partial_commit_links_untouched_buckets(spark, tmp_pat
     got = inc.result()
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
+
+    # time travel: the pre-merge snapshot stays readable after the
+    # partial commit (hard links keep the shared files alive) and
+    # equals batch dedup of just the first batch
+    v1_state = inc.table.read(1)
+    assert v1_state.count() == exact_dedup(docs, "doc_id", "text").count()
