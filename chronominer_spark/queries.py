@@ -2093,6 +2093,55 @@ def q43_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal corpus curation composition: opaque binary payloads →
+    the REAL Arrow ``mapInPandas`` feature path (byte size + sha256,
+    q36's verified plumbing) → exact payload dedup (hash-agg winner per
+    payload_sha, q17's plan shape on binary content) → per-kind
+    accounting. The dedup keys on the UDF-computed sha, so the oracle
+    cross-checks the Arrow path's output *through* a downstream
+    aggregation, not just row-by-row."""
+    from chronominer_spark.operators.multimodal import extract_features
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+    )
+    feats = extract_features(media, batch_rows=256)
+    won = feats.groupBy("payload_sha").agg(
+        F.min(F.struct("media_id", "kind", "byte_size")).alias("__w"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ).select("__w.*", "dup_count")
+    return won.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("byte_size").alias("bytes_total"),
+        F.sum((F.col("dup_count") > 1).cast("long")).alias("kept_with_dups"),
+    )
+
+
+_Q44_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         octet_length(encode(coalesce(text, '')))::BIGINT AS byte_size,
+         sha256(coalesce(text, '')) AS payload_sha
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY payload_sha
+                               ORDER BY media_id) AS rn,
+         count(*) OVER (PARTITION BY payload_sha) AS dup_count
+  FROM m)
+SELECT kind, count(*) AS kept, sum(byte_size)::BIGINT AS bytes_total,
+       sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END)::BIGINT AS kept_with_dups
+FROM r WHERE rn = 1 GROUP BY kind
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2137,6 +2186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_eval_lifecycle": q41_eval_lifecycle,
     "q42_incremental_near_dup": q42_incremental_near_dup,
     "q43_incremental_exact_dedup": q43_incremental_exact_dedup,
+    "q44_multimodal_curation": q44_multimodal_curation,
 }
 
 ORACLES: dict[str, str] = {
@@ -2183,6 +2233,7 @@ ORACLES: dict[str, str] = {
     "q41_eval_lifecycle": _Q41_SQL,
     "q42_incremental_near_dup": _Q42_SQL,
     "q43_incremental_exact_dedup": _Q17_SQL,
+    "q44_multimodal_curation": _Q44_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
