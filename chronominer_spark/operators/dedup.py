@@ -364,6 +364,92 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "na", "nb", "jaccard")
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    threshold: float, k: int = 3,
+    shingles_df: DataFrame | None = None,
+    hot_token_warn: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard self-join via prefix filtering (the
+    AllPairs/PPJoin family of set-similarity joins) — guaranteed to
+    emit EVERY pair with ``jaccard >= threshold``, the deterministic
+    complement to the probabilistic MinHash-LSH path
+    (:func:`lsh_candidate_pairs`), which can miss true pairs with
+    banding probability. Returns (id_a, id_b, inter, na, nb, jaccard)
+    with ``id_a < id_b``.
+
+    Prefix-filter principle: order every doc's shingle set by ONE
+    global total order; if ``J(A, B) >= t`` then A and B must share at
+    least one shingle within their first ``p = n - ceil(t*n) + 1``
+    shingles (dropping the last n-p elements of A can erase at most
+    n-p intersections, and J >= t forces the intersection to be larger
+    than that). So candidate generation = self-join on PREFIX tokens
+    only, then exact verification — never O(n²) and never lossy.
+
+    Scale posture (100 TB): the global order is ascending document
+    frequency (ties on the shingle string), so prefixes hold each
+    doc's RAREST shingles — posting lists in the prefix inverted index
+    are short by construction, and the index itself holds only
+    ~(1-t)·total tokens. The size filter
+    ``min(na, nb) >= t * max(na, nb)`` (a necessary condition for
+    J >= t) prunes candidates before the distinct. The per-doc prefix
+    is selected with a window partitioned by doc id — bounded,
+    doc-sized groups, no global sort. Verification
+    (:func:`ngram_jaccard_pairs`) runs only over surviving candidate
+    ids. ``hot_token_warn`` (opt-in: it costs one extra eager pass
+    over the prefix index) logs any prefix token whose posting list
+    still exceeds the cap (a stop-shingle slipping into prefixes — a
+    symptom of k too small for the corpus), without dropping it:
+    exactness is the contract here.
+
+    The frequency-ascending order is engine-portable (count, then
+    binary string comparison), so a SQL engine reproduces the exact
+    same prefixes — see the q45 DuckDB oracle."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if shingles_df is not None:
+        sh = shingles_df.select(F.col(id_col).alias("id"),
+                                F.col("shingles").alias("__sh"))
+    else:
+        sh = df.select(F.col(id_col).alias("id"),
+                       word_shingles(text_col, k).alias("__sh"))
+    ex = sh.select(
+        "id", F.size("__sh").alias("n"), F.explode("__sh").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__dfq"))
+    w = W.partitionBy("id").orderBy(F.col("__dfq").asc(), F.col("tok").asc())
+    ranked = ex.join(freq, "tok").withColumn("__rn", F.row_number().over(w))
+    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+    pre = ranked.where(F.col("__rn") <= plen).select("id", "tok", "n")
+
+    if hot_token_warn is not None:
+        hot = (
+            pre.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > hot_token_warn)
+            .limit(5).collect()
+        )
+        if hot:
+            logger.warning(
+                "prefix_jaccard_pairs: %d+ prefix token(s) exceed "
+                "posting-list warn cap %d (worst: %s) — candidate join "
+                "cost is quadratic in these lists; consider a larger "
+                "shingle k", len(hot), hot_token_warn,
+                [(r["tok"], r["c"]) for r in hot])
+
+    a = pre.alias("a")
+    b = pre.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.tok") == F.col("b.tok"),
+                      F.col("a.id") < F.col("b.id")])
+        .where(F.least(F.col("a.n"), F.col("b.n"))
+               >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(df, id_col, text_col, cand, k=k,
+                                   shingles_df=shingles_df)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     max_iter: int = 20, on_nonconverged: str = "raise",

@@ -33,6 +33,7 @@ from chronominer_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     simhash,
 )
 from chronominer_spark.operators.evalmetrics import field_metrics
@@ -2142,6 +2143,71 @@ FROM r WHERE rn = 1 GROUP BY kind
 """
 
 
+def q45_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard similarity join via prefix
+    filtering (PPJoin-family) — the deterministic complement to q19's
+    probabilistic MinHash-LSH path: guaranteed to surface EVERY pair
+    with jaccard >= 0.25, not just pairs that happen to collide in a
+    band. The corpus is shingled once (persisted) and feeds both the
+    prefix index and the verification stage. Oracle: full DuckDB
+    mirror of frequency-ordered prefixes → prefix-token join → size
+    filter → exact Jaccard verify."""
+    from pyspark import StorageLevel
+
+    from chronominer_spark.operators.dedup import shingle_docs
+
+    d = t(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    sh = shingle_docs(d, "doc_id", "text", k=3) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    out = prefix_jaccard_pairs(d, "doc_id", "text", threshold=0.25, k=3,
+                               shingles_df=sh)
+    res = out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return res
+
+
+_Q45_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM norm),
+ex AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+freq AS (SELECT tok, count(*)::BIGINT AS dfq FROM ex GROUP BY tok),
+sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
+ranked AS (
+  SELECT e.doc_id, e.tok, s.n,
+         row_number() OVER (PARTITION BY e.doc_id
+                            ORDER BY f.dfq, e.tok) AS rn
+  FROM ex e JOIN freq f USING (tok) JOIN sizes s USING (doc_id)),
+pre AS (
+  SELECT doc_id, tok, n FROM ranked
+  WHERE rn <= n - ceil(0.25 * n) + 1),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b USING (tok)
+  WHERE a.doc_id < b.doc_id
+    AND least(a.n, b.n) >= 0.25 * greatest(a.n, b.n)),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*)::BIGINT AS i
+  FROM pairs p
+  JOIN ex ea ON ea.doc_id = p.id_a
+  JOIN ex eb ON eb.doc_id = p.id_b AND eb.tok = ea.tok
+  GROUP BY 1, 2)
+SELECT t.id_a, t.id_b, round(t.i / (sa.n + sb.n - t.i), 6) AS jaccard
+FROM inter t
+JOIN sizes sa ON sa.doc_id = t.id_a
+JOIN sizes sb ON sb.doc_id = t.id_b
+WHERE t.i / (sa.n + sb.n - t.i) >= 0.25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2187,6 +2253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_incremental_near_dup": q42_incremental_near_dup,
     "q43_incremental_exact_dedup": q43_incremental_exact_dedup,
     "q44_multimodal_curation": q44_multimodal_curation,
+    "q45_prefix_jaccard_pairs": q45_prefix_jaccard_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2234,6 +2301,7 @@ ORACLES: dict[str, str] = {
     "q42_incremental_near_dup": _Q42_SQL,
     "q43_incremental_exact_dedup": _Q17_SQL,
     "q44_multimodal_curation": _Q44_SQL,
+    "q45_prefix_jaccard_pairs": _Q45_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

@@ -64,6 +64,41 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 3) not in got      # unrelated text must not collide
 
 
+def test_prefix_jaccard_exactness_vs_brute_force(spark):
+    """Prefix filtering must be LOSSLESS: the PPJoin-style join finds
+    exactly the pairs (and values) an all-pairs brute force finds at
+    the same threshold — including a pair sitting exactly AT the
+    threshold. 40 docs built from a shared word pool so overlaps span
+    the whole [0, 1] Jaccard range."""
+    from chronominer_spark.operators.dedup import prefix_jaccard_pairs
+
+    pool = [f"w{i}" for i in range(60)]
+    rows = []
+    for d in range(40):
+        # overlapping sliding windows over the pool: doc d shares
+        # most of its words with d+1, half with d+2, little beyond
+        words = pool[(d * 3) % 50:(d * 3) % 50 + 12] or pool[:12]
+        rows.append((d, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = 0.3
+    got = prefix_jaccard_pairs(df, "doc_id", "text", threshold=t, k=3)
+    got_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+
+    all_pairs = (
+        df.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(df.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    brute = ngram_jaccard_pairs(df, "doc_id", "text", all_pairs, k=3) \
+        .where(F.col("jaccard") >= t)
+    brute_pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                   for r in brute.collect()}
+
+    assert got_pairs == brute_pairs
+    assert len(brute_pairs) > 0  # the fixture must actually plant pairs
+
+
 def test_jaccard_values(docs):
     d = docs.where(F.col("text").isNotNull())
     pairs = d.select(F.lit(0).alias("id_a"), F.lit(1).alias("id_b")).limit(1).union(
