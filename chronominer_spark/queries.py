@@ -2208,6 +2208,78 @@ WHERE t.i / (sa.n + sb.n - t.i) >= 0.25
 """
 
 
+def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source hash sampling — the data-mixing
+    primitive: rates are binary-exact fractions so the rate·buckets
+    threshold is the same integer in every engine; selection is a pure
+    scan-side filter (no RNG, no shuffle, stable under
+    repartitioning)."""
+    from chronominer_spark.operators.sampling import (
+        portable_bucket,
+        stratified_hash_sample,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        d, "doc_id", "source",
+        rates={"src0": 1.0, "src1": 0.25, "src2": 0.5},
+        default_rate=0.125)
+    return out.select(
+        "doc_id", "source", portable_bucket("doc_id").alias("bucket"))
+
+
+_Q46_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+          % 1000000)::BIGINT AS bucket
+  FROM documents)
+SELECT doc_id, source, bucket FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 1000000
+                           WHEN 'src1' THEN 250000
+                           WHEN 'src2' THEN 500000
+                           ELSE 125000 END
+"""
+
+
+def q47_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget data mixing: priority order (token count
+    desc, doc_id asc), keep the prefix whose inclusive cumulative token
+    count fits the source's budget. The two-phase bucketed rewrite for
+    skewed sources is pytest-verified equal
+    (tests/test_sampling.py::test_token_budget_mix_bucketed_matches_windowed)."""
+    from chronominer_spark.operators.sampling import token_budget_mix
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.size(F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+                       r"\s+")).cast("long").alias("n_tok"))
+    out = token_budget_mix(
+        toks, "source", "n_tok",
+        budgets={"src0": 500, "src1": 0}, default_budget=300,
+        order_cols=[F.col("n_tok").desc(), F.col("doc_id").asc()],
+        with_cum=True)
+    return out.select("doc_id", "source", "n_tok", "cum_tokens")
+
+
+_Q47_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split_regex(lower(trim(coalesce(text, ''))),
+             '\\s+'))::BIGINT AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM toks)
+SELECT doc_id, source, n_tok, cum_tokens FROM c
+WHERE cum_tokens <= CASE source WHEN 'src0' THEN 500
+                                WHEN 'src1' THEN 0 ELSE 300 END
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2254,6 +2326,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_incremental_exact_dedup": q43_incremental_exact_dedup,
     "q44_multimodal_curation": q44_multimodal_curation,
     "q45_prefix_jaccard_pairs": q45_prefix_jaccard_pairs,
+    "q46_stratified_sample": q46_stratified_sample,
+    "q47_token_budget_mix": q47_token_budget_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -2302,6 +2376,8 @@ ORACLES: dict[str, str] = {
     "q43_incremental_exact_dedup": _Q17_SQL,
     "q44_multimodal_curation": _Q44_SQL,
     "q45_prefix_jaccard_pairs": _Q45_SQL,
+    "q46_stratified_sample": _Q46_SQL,
+    "q47_token_budget_mix": _Q47_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
