@@ -2280,6 +2280,53 @@ WHERE cum_tokens <= CASE source WHEN 'src0' THEN 500
 """
 
 
+def q48_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 10th document plays the role of
+    a held-out eval set; the remaining corpus is profiled for word
+    3-gram overlap against it and flagged at overlap_frac >= 0.5. The
+    benchmark shingle set is BROADCAST (eval suites are bounded no
+    matter how large the corpus), the corpus is shingled once and the
+    only exchange is the per-doc hit-count hash aggregate — the plan a
+    100-TB decontamination pass needs. Planted near-copies of benchmark
+    docs surface at overlap_frac = 1.0."""
+    from chronominer_spark.operators.decontam import decontaminate
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text",
+                         k=3, threshold=0.5)
+
+
+_Q48_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM norm),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 10 = 0),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 10 <> 0),
+counted AS (
+  SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_overlap
+  FROM ex e LEFT JOIN bench b USING (shingle)
+  GROUP BY e.doc_id)
+SELECT doc_id, n_shingles, n_overlap,
+       round(n_overlap * 1.0 / n_shingles, 6) AS overlap_frac,
+       n_overlap * 1.0 / n_shingles >= 0.5 AS contaminated
+FROM counted
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2328,6 +2375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_prefix_jaccard_pairs": q45_prefix_jaccard_pairs,
     "q46_stratified_sample": q46_stratified_sample,
     "q47_token_budget_mix": q47_token_budget_mix,
+    "q48_decontamination": q48_decontamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -2378,6 +2426,7 @@ ORACLES: dict[str, str] = {
     "q45_prefix_jaccard_pairs": _Q45_SQL,
     "q46_stratified_sample": _Q46_SQL,
     "q47_token_budget_mix": _Q47_SQL,
+    "q48_decontamination": _Q48_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

@@ -457,3 +457,38 @@ def test_dedup_clusters_shortcut_mode_converges_fast(spark):
     slow = {r["id"]: r["cluster_id"]
             for r in dedup_clusters(pairs, max_iter=50).collect()}
     assert fast == slow
+
+
+def test_decontaminate_flags_planted_leakage(spark):
+    """A corpus doc that verbatim-contains a benchmark doc's text must
+    flag at overlap_frac 1.0; an all-fresh-vocabulary doc at 0.0; a
+    half-copied doc in between — and the benchmark shingle set must be
+    reusable via bench_shingles_df without changing any number."""
+    from chronominer_spark.operators.decontam import (
+        benchmark_shingles,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),       # verbatim copy
+         (2, "qq ww ee rr tt yy uu ii"),                   # fresh vocab
+         (3, "alpha beta gamma delta qq ww ee rr tt")],    # half copied
+        "doc_id long, text string")
+
+    got = {r["doc_id"]: r for r in
+           decontaminate(corpus, bench, threshold=0.5).collect()}
+    assert got[1]["overlap_frac"] == 1.0 and got[1]["contaminated"]
+    assert got[2]["overlap_frac"] == 0.0 and not got[2]["contaminated"]
+    # doc 3: shingles 1-7; 'alpha beta gamma'/'beta gamma delta' hit
+    assert got[3]["n_overlap"] == 2 and not got[3]["contaminated"]
+
+    pre = benchmark_shingles(bench, "doc_id", "text").persist()
+    via_pre = {r["doc_id"]: r for r in
+               decontaminate(corpus, bench, threshold=0.5,
+                             bench_shingles_df=pre).collect()}
+    pre.unpersist()
+    assert {k: (v["n_shingles"], v["n_overlap"]) for k, v in got.items()} \
+        == {k: (v["n_shingles"], v["n_overlap"]) for k, v in via_pre.items()}
