@@ -143,3 +143,81 @@ def winnowing_fingerprints(
         F.col(id_col),
         F.array_distinct(picks).alias("fingerprints"),
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 2,
+    max_dup_ngram_frac: float = 0.6, max_top_ngram_frac: float = 0.2,
+) -> DataFrame:
+    """Within-document repetition profile — the Gopher-family quality
+    filters (duplicate-n-gram fraction and most-frequent-n-gram
+    coverage) that catch boilerplate, keyword stuffing, and
+    degenerate-loop text that the cross-document dedup family cannot
+    (it only sees repetition ACROSS docs, not inside one).
+
+    One row per doc: ``(id_col, n_words, dup_word_frac, n_grams,
+    dup_ngram_frac, top_ngram_frac, repetitive)`` where
+
+    - ``dup_word_frac``  = 1 − distinct(words)/count(words)
+    - ``dup_ngram_frac`` = 1 − distinct(k-grams)/count(k-grams)
+      (k-grams here are NON-distinct — repetition is the signal, so the
+      dedup family's ``word_shingles`` distinct step must not apply)
+    - ``top_ngram_frac`` = count(modal k-gram)/count(k-grams)
+    - ``repetitive`` = dup_ngram_frac > max_dup_ngram_frac OR
+      top_ngram_frac > max_top_ngram_frac
+
+    Scale posture: one scan; word-level stats ride as projection
+    columns through the gram explode, so the only exchanges are the
+    two hash aggregates keyed (doc, gram) then (doc) — both
+    map-side-combining, both bounded by the corpus token count (the
+    same exchange class as every shingle pipeline here). Docs shorter
+    than k words get zero-valued fractions via ``explode_outer``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.split(F.lower(F.trim(c)), r"\s+")
+    n_words = F.size(ws)
+    grams = F.when(
+        n_words >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_words - k, F.lit(0))),
+            lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    exploded = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("__ndw"),
+        F.explode_outer(grams).alias("__gram"),
+    )
+    per_gram = exploded.groupBy(id_col, "__gram").agg(
+        F.first("n_words").alias("n_words"),
+        F.first("__ndw").alias("__ndw"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    live = F.col("__gram").isNotNull()
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.first("n_words").alias("n_words"),
+        F.first("__ndw").alias("__ndw"),
+        F.sum(F.when(live, F.col("__cnt")).otherwise(0)).alias("n_grams"),
+        F.sum(F.when(live, 1).otherwise(0)).alias("__ndg"),
+        F.max(F.when(live, F.col("__cnt")).otherwise(0)).alias("__top"),
+    )
+    safe_w = F.greatest(F.col("n_words"), F.lit(1))
+    safe_g = F.greatest(F.col("n_grams"), F.lit(1))
+    dup_w = 1.0 - F.col("__ndw") / safe_w
+    dup_g = F.when(F.col("n_grams") > 0,
+                   1.0 - F.col("__ndg") / safe_g).otherwise(0.0)
+    top_g = F.when(F.col("n_grams") > 0,
+                   F.col("__top") / safe_g).otherwise(0.0)
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(dup_w, 6).alias("dup_word_frac"),
+        F.col("n_grams"),
+        F.round(dup_g, 6).alias("dup_ngram_frac"),
+        F.round(top_g, 6).alias("top_ngram_frac"),
+        ((dup_g > max_dup_ngram_frac) | (top_g > max_top_ngram_frac))
+        .alias("repetitive"),
+    )

@@ -2327,6 +2327,55 @@ FROM counted
 """
 
 
+def q49_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family within-document repetition filters: duplicate-word
+    fraction, duplicate-bigram fraction, and modal-bigram coverage per
+    doc, with the `repetitive` flag at (dup_ngram > 0.08 OR top_ngram >
+    0.1) — thresholds placed mid-distribution for this corpus so both
+    branches of the flag are exercised. Complements the cross-document
+    dedup family (q17-q20): this catches repetition INSIDE one doc."""
+    from chronominer_spark.operators.textstats import repetition_features
+
+    d = t(spark, sf_dir, "documents")
+    return repetition_features(d, "doc_id", "text", k=2,
+                               max_dup_ngram_frac=0.08,
+                               max_top_ngram_frac=0.1)
+
+
+_Q49_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+  FROM documents),
+base AS (
+  SELECT doc_id, len(w)::BIGINT AS n_words,
+         len(list_distinct(w))::BIGINT AS ndw,
+         CASE WHEN len(w) >= 2 THEN
+           list_transform(range(1, len(w)),
+                          i -> array_to_string(w[i:i+1], ' '))
+         ELSE [] END AS grams
+  FROM norm),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM base),
+pg AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2),
+pd AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_grams, count(*)::BIGINT AS ndg,
+         max(cnt)::BIGINT AS top
+  FROM pg GROUP BY 1)
+SELECT b.doc_id, b.n_words,
+       round(1.0 - b.ndw / greatest(b.n_words, 1), 6) AS dup_word_frac,
+       coalesce(p.n_grams, 0) AS n_grams,
+       round(CASE WHEN coalesce(p.n_grams, 0) > 0
+             THEN 1.0 - p.ndg / p.n_grams ELSE 0.0 END, 6) AS dup_ngram_frac,
+       round(CASE WHEN coalesce(p.n_grams, 0) > 0
+             THEN p.top * 1.0 / p.n_grams ELSE 0.0 END, 6) AS top_ngram_frac,
+       (CASE WHEN coalesce(p.n_grams, 0) > 0
+             THEN 1.0 - p.ndg / p.n_grams ELSE 0.0 END) > 0.08
+       OR (CASE WHEN coalesce(p.n_grams, 0) > 0
+             THEN p.top * 1.0 / p.n_grams ELSE 0.0 END) > 0.1 AS repetitive
+FROM base b LEFT JOIN pd p USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2376,6 +2425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_stratified_sample": q46_stratified_sample,
     "q47_token_budget_mix": q47_token_budget_mix,
     "q48_decontamination": q48_decontamination,
+    "q49_repetition_filter": q49_repetition_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -2427,6 +2477,7 @@ ORACLES: dict[str, str] = {
     "q46_stratified_sample": _Q46_SQL,
     "q47_token_budget_mix": _Q47_SQL,
     "q48_decontamination": _Q48_SQL,
+    "q49_repetition_filter": _Q49_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

@@ -492,3 +492,31 @@ def test_decontaminate_flags_planted_leakage(spark):
     pre.unpersist()
     assert {k: (v["n_shingles"], v["n_overlap"]) for k, v in got.items()} \
         == {k: (v["n_shingles"], v["n_overlap"]) for k, v in via_pre.items()}
+
+
+def test_repetition_features_flags_degenerate_text(spark):
+    """A degenerate loop doc must flag on both branches; natural prose
+    must not; a doc shorter than k words must survive with zeroed gram
+    fractions (explode_outer path), not disappear."""
+    from chronominer_spark.operators.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now buy now"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "single")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           repetition_features(docs, k=2).collect()}
+
+    assert len(got) == 3
+    # doc 1: 10 words, 9 bigrams, only 2 distinct ('buy now' x5, 'now buy' x4)
+    assert got[1]["n_grams"] == 9
+    assert got[1]["dup_ngram_frac"] == round(1 - 2 / 9, 6)
+    assert got[1]["top_ngram_frac"] == round(5 / 9, 6)
+    assert got[1]["repetitive"]
+    # doc 2: 'the' repeats (dup_word) but every bigram is unique
+    assert got[2]["dup_ngram_frac"] == 0.0 and not got[2]["repetitive"]
+    assert got[2]["dup_word_frac"] == round(1 - 8 / 9, 6)
+    # doc 3: shorter than k -> zero grams, zero fractions, not flagged
+    assert got[3]["n_grams"] == 0 and got[3]["top_ngram_frac"] == 0.0
+    assert not got[3]["repetitive"]
