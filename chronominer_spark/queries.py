@@ -2376,6 +2376,79 @@ FROM base b LEFT JOIN pd p USING (doc_id)
 """
 
 
+def q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: deterministic synthetic PII (an email, a phone,
+    or an IPv4, keyed by doc_id % 4 — the corpus itself is PII-free, so
+    the query plants what it must find) is appended to each doc, then
+    detected and redacted with the engine-portable patterns of
+    operators/pii.py. Per-source audit row: docs, per-kind match
+    totals, docs carrying any PII, and the redacted-text character sum
+    — the last verifies the REPLACEMENT itself cross-engine, not just
+    the counts. Pure regex projections in one scan + one map-side-
+    combining aggregate: the shape of a 100-TB scrub pass."""
+    from chronominer_spark.operators.pii import redact_pii
+
+    d = t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact user"), sid,
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" call +1 555-123-4567 today"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit(" seen from 10.0."),
+                       (F.col("doc_id") % 256).cast("string"), F.lit(".7")))
+        .otherwise(F.lit("")))
+    seeded = d.withColumn("text", F.concat(F.col("text"), suffix))
+    red = redact_pii(seeded, "text")
+    any_pii = ((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0)
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("n_ipv4").alias("ips"),
+        F.sum(any_pii.cast("long")).alias("docs_with_pii"),
+        F.sum(F.length("redacted")).alias("redacted_chars"),
+    )
+
+
+_Q50_SQL = r"""
+WITH seeded AS (
+  SELECT source,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+           WHEN 1 THEN ' call +1 555-123-4567 today'
+           WHEN 2 THEN ' seen from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+           ELSE '' END AS text
+  FROM documents),
+red AS (
+  SELECT source,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+           AS n_email,
+         len(regexp_extract_all(text,
+             '(\+[0-9]{1,3}[ -])?[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT
+           AS n_phone,
+         len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT
+           AS n_ipv4,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '(\+[0-9]{1,3}[ -])?[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+           AS redacted
+  FROM seeded)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_email)::BIGINT AS emails,
+       sum(n_phone)::BIGINT AS phones,
+       sum(n_ipv4)::BIGINT AS ips,
+       sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_with_pii,
+       sum(len(redacted))::BIGINT AS redacted_chars
+FROM red GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2426,6 +2499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_token_budget_mix": q47_token_budget_mix,
     "q48_decontamination": q48_decontamination,
     "q49_repetition_filter": q49_repetition_filter,
+    "q50_pii_redaction": q50_pii_redaction,
 }
 
 ORACLES: dict[str, str] = {
@@ -2478,6 +2552,7 @@ ORACLES: dict[str, str] = {
     "q47_token_budget_mix": _Q47_SQL,
     "q48_decontamination": _Q48_SQL,
     "q49_repetition_filter": _Q49_SQL,
+    "q50_pii_redaction": _Q50_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

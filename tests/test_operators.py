@@ -520,3 +520,33 @@ def test_repetition_features_flags_degenerate_text(spark):
     # doc 3: shorter than k -> zero grams, zero fractions, not flagged
     assert got[3]["n_grams"] == 0 and got[3]["top_ngram_frac"] == 0.0
     assert not got[3]["repetitive"]
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    """Each PII kind is counted on the original text and replaced with
+    its typed token; counts are independent of redaction order; unknown
+    kinds are rejected."""
+    import pytest as _pytest
+
+    from chronominer_spark.operators.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@test-host.org and x@y.io please"),
+         (2, "call +1 555-123-4567 or 555-000-1111"),
+         (3, "hosts 10.0.0.1 and 192.168.255.254 up"),
+         (4, "nothing sensitive here"),
+         (5, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+
+    assert got[1]["n_email"] == 2 and got[1]["redacted"] == \
+        "mail [EMAIL] and [EMAIL] please"
+    assert got[2]["n_phone"] == 2 and got[2]["redacted"] == \
+        "call [PHONE] or [PHONE]"
+    assert got[3]["n_ipv4"] == 2 and got[3]["redacted"] == \
+        "hosts [IP] and [IP] up"
+    assert got[4]["redacted"] == "nothing sensitive here"
+    assert got[5]["redacted"] == "" and got[5]["n_email"] == 0
+
+    with _pytest.raises(ValueError, match="unknown PII kinds"):
+        redact_pii(docs, kinds=("email", "ssn"))
