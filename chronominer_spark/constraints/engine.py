@@ -490,9 +490,21 @@ class SuiteEvaluator:
     def _referential_join(
         self, df: DataFrame, c: Constraint
     ) -> tuple[DataFrame, DataFrame | None]:
-        """RI against a dim DataFrame: violations = left_anti(broadcast
-        dim) — the J6 plan. Used when the vocabulary is a managed table
-        rather than an inline enum."""
+        """RI against a dim DataFrame — the J6 plan family.
+
+        ``strategy='broadcast'`` (default): violations = left_anti
+        (broadcast dim); zero shuffle, right for vocab-sized dims.
+
+        ``strategy='shuffle'``: the 100-TB path for dims that do NOT
+        fit in a broadcast (a billions-key conversations dim). The fact
+        side is first collapsed to distinct ``(col, _pid)`` keys with
+        map-side-combined counts — the anti-join then shuffles distinct
+        keys instead of rows (for a vocab-like column that is ~|vocab| x
+        #partitions rows regardless of corpus size). Violation ROWS are
+        recovered by broadcasting the (typically tiny) bad-key set back
+        over the fact side as a left-semi join, so per-row lineage is
+        identical to the broadcast plan without ever shuffling the fact
+        table."""
         p = c.params
         col = p["col"]
         if p["vocab_name"] not in self.vocab_dfs:
@@ -503,13 +515,29 @@ class SuiteEvaluator:
             )
         vocab = self.vocab_dfs[p["vocab_name"]]
         vocab_col = vocab.columns[0]
-        dim = F.broadcast(vocab.select(F.col(vocab_col).alias(col)).distinct())
+        dim = vocab.select(F.col(vocab_col).alias(col)).distinct()
 
         candidates = df.where(F.col(col).isNotNull()) if p.get("allow_null", True) else df
-        bad = candidates.join(dim, on=col, how="left_anti")
-
         totals = df.groupBy("_pid").agg(F.count(F.lit(1)).alias("rows_checked"))
-        bad_counts = bad.groupBy("_pid").agg(F.count(F.lit(1)).alias("violation_count"))
+
+        if p.get("strategy", "broadcast") == "shuffle":
+            keys = candidates.groupBy(col, "_pid").agg(
+                F.count(F.lit(1)).alias("__n"))
+            bad_keys = keys.join(dim, on=col, how="left_anti")
+            bad_counts = bad_keys.groupBy("_pid").agg(
+                F.sum("__n").alias("violation_count"))
+            # null-SAFE semi join: with allow_null=False a null key is a
+            # violation, and a plain equi-join would silently drop those
+            # rows from the violations frame
+            bad_set = F.broadcast(
+                bad_keys.select(F.col(col).alias("__bad_key")).distinct())
+            bad = candidates.join(
+                bad_set, on=F.col(col).eqNullSafe(F.col("__bad_key")),
+                how="left_semi")
+        else:
+            bad = candidates.join(F.broadcast(dim), on=col, how="left_anti")
+            bad_counts = bad.groupBy("_pid").agg(
+                F.count(F.lit(1)).alias("violation_count"))
         res = (
             totals.join(bad_counts, "_pid", "left")
             .withColumn("violation_count", F.coalesce("violation_count", F.lit(0)))

@@ -77,15 +77,31 @@ def referential(
     vocab_name: str | None = None,
     allow_null: bool = True,
     max_rate: float = 0.0,
+    strategy: str = "broadcast",
 ) -> Constraint:
     """Membership in a closed vocabulary. ``vocab`` inline (tiny enums) or
-    ``vocab_name`` referencing a dim DataFrame supplied at evaluation time
-    (broadcast + left-anti). Nullable enums admit null, mirroring
-    ``tests/test_schema_invariants.py:71-90``."""
+    ``vocab_name`` referencing a dim DataFrame supplied at evaluation time.
+    Nullable enums admit null, mirroring
+    ``tests/test_schema_invariants.py:71-90``.
+
+    ``strategy`` picks the dim-join plan: ``"broadcast"`` (default —
+    broadcast + left-anti, right for vocab-sized dims) or ``"shuffle"``
+    for dims too large to broadcast (e.g. RI of conv_id against a
+    billions-row conversations dim): candidates are first collapsed to
+    distinct ``(col, partition)`` keys with map-side-combined counts, so
+    the anti-join shuffles distinct keys, not rows — then only the bad
+    keys (typically few) are broadcast back to fish out violation rows.
+    Results and violation rows are identical between the two
+    (``tests/test_suite_engine.py`` asserts it)."""
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"referential strategy must be 'broadcast' or 'shuffle', "
+            f"got {strategy!r}")
     return Constraint(
         f"ri:{col}", "referential",
         {"col": col, "vocab": vocab, "vocab_name": vocab_name,
-         "allow_null": allow_null, "max_rate": max_rate},
+         "allow_null": allow_null, "max_rate": max_rate,
+         "strategy": strategy},
     )
 
 

@@ -430,3 +430,33 @@ def test_digest_auto_picks_by_observed_diff_rate(spark, transcripts, ref_snapsho
         return out
 
     assert run("auto_e2e", "auto") == run("direct_e2e", False)
+
+
+def test_referential_shuffle_strategy_matches_broadcast(spark, transcripts):
+    """The large-dim 'shuffle' RI plan (distinct-key anti-join +
+    broadcast-back of bad keys) must produce byte-identical per-
+    partition results AND violation rows to the broadcast plan — the
+    contract that lets a deployment flip the strategy by dim size
+    without changing any output."""
+    results = {}
+    for strategy in ("broadcast", "shuffle"):
+        suite = ConstraintSuite(
+            name=f"ri_{strategy}",
+            constraints=(referential("role", vocab_name="roles",
+                                     allow_null=False, strategy=strategy),),
+        )
+        ev = SuiteEvaluator(spark, suite, {"roles": role_vocab_df(spark)})
+        res, vio = ev.evaluate(transcripts)
+        results[strategy] = (
+            sorted(map(tuple, res.drop("evaluated_at").collect())),
+            sorted(map(tuple, vio.collect())),
+        )
+    assert results["broadcast"][0] == results["shuffle"][0]
+    assert results["broadcast"][1] == results["shuffle"][1]
+    # the planted generator violations actually exercise the path
+    assert any(r for r in results["shuffle"][1])
+
+
+def test_referential_rejects_unknown_strategy():
+    with pytest.raises(ValueError, match="strategy"):
+        referential("role", vocab_name="roles", strategy="bloom")
