@@ -266,6 +266,11 @@ class SuiteEvaluator:
                 results.append(r)
                 if with_violations and v is not None:
                     violations.append(v)
+            elif c.kind == "monotone":
+                r, v = self._monotone(df, c)
+                results.append(r)
+                if with_violations:
+                    violations.append(v)
 
         if drift_cs and ref is not None:
             results.extend(self._drift_family(
@@ -679,6 +684,49 @@ class SuiteEvaluator:
             F.lit(",".join(keys)).alias("column"),
             self._sval(F.concat_ws("|", *[F.col(k) for k in keys])).alias("value"),
             F.format_string("duplicate_count=%d", F.col("dup_count")).alias("detail"),
+        )
+        return res, vio
+
+    # -- ordering monotonicity ------------------------------------------------
+    def _monotone(
+        self, df: DataFrame, c: Constraint
+    ) -> tuple[DataFrame, DataFrame]:
+        """Monotonicity along the per-group sorted sequence via
+        :func:`~chronominer_spark.operators.ranges.out_of_order` — one
+        window partitioned by the group key (the engine's existing
+        ordering exchange class; per-group state is a single lag value,
+        so skew streams rather than accumulates)."""
+        from chronominer_spark.operators.ranges import out_of_order
+
+        p = c.params
+        col = p["col"]
+        bad = out_of_order(df, col, p["partition_by"], p["order_by"],
+                           strict=p.get("strict", False), prev_col="__prev")
+        totals = df.groupBy("_pid").agg(F.count(F.lit(1)).alias("rows_checked"))
+        bad_counts = bad.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("violation_count"))
+        res = (
+            totals.join(bad_counts, "_pid", "left")
+            .withColumn("violation_count",
+                        F.coalesce("violation_count", F.lit(0)))
+            .select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                (F.col("violation_count") / F.col("rows_checked"))
+                .cast("double").alias("observed"),
+                F.lit(p.get("max_rate", 0.0)).cast("double").alias("threshold"),
+                "rows_checked", "violation_count",
+            )
+            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        )
+        vio = bad.select(
+            F.col("_pid").alias("partition_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            *self.suite.key_cols,
+            F.lit(col).alias("column"),
+            self._sval(F.col(col)).alias("value"),
+            F.concat(F.lit("decreased from "),
+                     self._sval(F.col("__prev"))).alias("detail"),
         )
         return res, vio
 

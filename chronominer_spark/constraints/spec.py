@@ -130,6 +130,27 @@ def cross_field_null(anchor: str, dependents: list[str], max_rate: float = 0.0) 
     )
 
 
+def monotone(
+    col: str,
+    partition_by: list[str],
+    order_by: list[str],
+    strict: bool = False,
+    max_rate: float = 0.0,
+) -> Constraint:
+    """``col`` must be non-decreasing (``strict=True``: increasing)
+    along the ``order_by``-sorted sequence within each ``partition_by``
+    group — e.g. ``monotone("ts", ["conv_id"], ["turn_idx"])`` asserts
+    transcript timestamps never move backwards along the turn order the
+    equality family already relies on. Violations are the offending
+    rows with their predecessor's value in the detail."""
+    return Constraint(
+        f"mono:{col}", "monotone",
+        {"col": col, "partition_by": list(partition_by),
+         "order_by": list(order_by), "strict": strict,
+         "max_rate": max_rate},
+    )
+
+
 def group_stats(group_col: str, max_group_rows: int | None = None,
                 salted: bool = True) -> Constraint:
     """Per-group (e.g. per-conversation) size profile via explicit

@@ -336,3 +336,29 @@ def slice_chunks(
         .where(F.col(idx) > F.col("_max_idx") - last_n)
         .drop("_max_idx")
     )
+
+
+def out_of_order(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    order_by: list[str],
+    strict: bool = False,
+    prev_col: str = "prev_value",
+) -> DataFrame:
+    """Rows whose ``value_col`` moves backwards along the
+    ``order_by``-sorted sequence within each ``partition_by`` group —
+    the monotonicity witness (e.g. a transcript turn whose timestamp
+    precedes the previous turn's). ``strict=True`` also flags ties.
+    Null current/previous values are never violations (there is nothing
+    to compare). Returns the violating input rows plus ``prev_col``.
+
+    Scale posture: one window partitioned by the group key — the same
+    exchange class as the engine's stable-turn-ordering path; per-group
+    state is a single lag value, so skewed groups stream rather than
+    accumulate."""
+    w = W.partitionBy(*partition_by).orderBy(*[F.col(c).asc() for c in order_by])
+    out = df.withColumn(prev_col, F.lag(F.col(value_col)).over(w))
+    p, v = F.col(prev_col), F.col(value_col)
+    bad = (v <= p) if strict else (v < p)
+    return out.where(p.isNotNull() & v.isNotNull() & bad)

@@ -2449,6 +2449,52 @@ FROM red GROUP BY source
 """
 
 
+def q51_monotonicity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering-monotonicity audit (the operator behind the engine's
+    ``monotone`` constraint): every 13th event's timestamp is
+    deterministically pulled 2 hours backwards — the generated stream
+    is perfectly ordered, so the query plants what it must find — and
+    ``out_of_order`` surfaces exactly the rows that now precede their
+    per-user predecessor in event_id order. One window partitioned by
+    user_id; per-group state is a single lag value."""
+    from chronominer_spark.operators.ranges import out_of_order
+
+    e = t(spark, sf_dir, "events")
+    perturbed = e.withColumn(
+        "ts",
+        F.when(F.col("event_id") % 13 == 0,
+               F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+        .otherwise(F.col("ts")))
+    bad = out_of_order(perturbed, "ts", ["user_id"], ["event_id"],
+                       prev_col="prev_ts")
+    # parquet NTZ timestamps don't cast to long directly; the session
+    # timezone is pinned UTC so the LTZ hop is epoch-exact
+    def epoch(c):
+        return F.col(c).cast("timestamp").cast("long")
+
+    return bad.select(
+        "user_id", "event_id",
+        epoch("ts").alias("ts_epoch"),
+        epoch("prev_ts").alias("prev_epoch"))
+
+
+_Q51_SQL = """
+WITH p AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 13 = 0 THEN ts - INTERVAL 2 HOUR
+              ELSE ts END AS ts
+  FROM events),
+x AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+  FROM p)
+SELECT user_id, event_id,
+       floor(epoch(ts))::BIGINT AS ts_epoch,
+       floor(epoch(prev_ts))::BIGINT AS prev_epoch
+FROM x WHERE prev_ts IS NOT NULL AND ts < prev_ts
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2500,6 +2546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_decontamination": q48_decontamination,
     "q49_repetition_filter": q49_repetition_filter,
     "q50_pii_redaction": q50_pii_redaction,
+    "q51_monotonicity_check": q51_monotonicity_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -2553,6 +2600,7 @@ ORACLES: dict[str, str] = {
     "q48_decontamination": _Q48_SQL,
     "q49_repetition_filter": _Q49_SQL,
     "q50_pii_redaction": _Q50_SQL,
+    "q51_monotonicity_check": _Q51_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

@@ -460,3 +460,43 @@ def test_referential_shuffle_strategy_matches_broadcast(spark, transcripts):
 def test_referential_rejects_unknown_strategy():
     with pytest.raises(ValueError, match="strategy"):
         referential("role", vocab_name="roles", strategy="bloom")
+
+
+def test_monotone_constraint_flags_backward_timestamps(spark):
+    """monotone('ts', ['conv_id'], ['turn_idx']): a turn whose ts
+    precedes its predecessor is a violation carrying the predecessor's
+    value; ties pass unless strict; nulls are never compared; clean
+    conversations pass with rate 0."""
+    from datetime import datetime
+
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, monotone
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    t1 = datetime(2024, 1, 1, 11, 0, 0)
+    t2 = datetime(2024, 1, 1, 12, 0, 0)
+    cur = spark.createDataFrame(
+        [("c1", 0, t1, 1), ("c1", 1, t0, 1), ("c1", 2, t2, 1),  # t0 < t1: bad
+         ("c2", 0, t0, 1), ("c2", 1, t0, 1),                    # tie: ok
+         ("c3", 0, t0, 2), ("c3", 1, None, 2), ("c3", 2, t1, 2)],  # nulls: ok
+        "conv_id string, turn_idx int, ts timestamp, pbucket int",
+    )
+    suite = ConstraintSuite(
+        name="mono", constraints=(monotone("ts", ["conv_id"], ["turn_idx"]),))
+    ev = SuiteEvaluator(spark, suite)
+    res, vio = ev.evaluate(cur)
+    rows = {r["partition_id"]: r for r in res.collect()}
+    assert rows["conv_bucket=1"]["violation_count"] == 1
+    assert not rows["conv_bucket=1"]["passed"]
+    assert rows["conv_bucket=2"]["violation_count"] == 0
+    assert rows["conv_bucket=2"]["passed"]
+    v = vio.collect()
+    assert len(v) == 1 and v[0]["conv_id"] == "c1" and v[0]["turn_idx"] == 1
+    assert "decreased from" in v[0]["detail"]
+
+    # strict mode also flags the c2 tie
+    strict_suite = ConstraintSuite(
+        name="mono_s",
+        constraints=(monotone("ts", ["conv_id"], ["turn_idx"], strict=True),))
+    res_s, vio_s = SuiteEvaluator(spark, strict_suite).evaluate(cur)
+    assert vio_s.count() == 2
