@@ -271,6 +271,10 @@ class SuiteEvaluator:
                 results.append(r)
                 if with_violations:
                     violations.append(v)
+            elif c.kind == "drift_quantile":
+                if ref is None:
+                    continue
+                results.append(self._drift_quantile(df, ref, c))
 
         if drift_cs and ref is not None:
             results.extend(self._drift_family(
@@ -1224,6 +1228,48 @@ class SuiteEvaluator:
     def _histogram(df: DataFrame, b: F.Column, cnt_name: str) -> DataFrame:
         return df.groupBy("_pid", b.alias("bin")).agg(
             F.count(F.lit(1)).alias(cnt_name)
+        )
+
+    def _drift_quantile(
+        self, df: DataFrame, ref: DataFrame, c: Constraint
+    ) -> DataFrame:
+        """Largest per-quantile absolute difference between the two
+        snapshots, per partition. One sketch aggregate per side (only
+        ≤accuracy-sized sketches shuffle — the quantiles-family
+        discipline), full-outer joined on partition; a partition
+        missing from either side cannot be certified and fails with a
+        null observed."""
+        p = c.params
+        qs = p["qs"]
+        q_arr = F.array(*[F.lit(q) for q in qs])
+
+        def side(frame: DataFrame, name: str, with_rows: bool) -> DataFrame:
+            aggs = [F.percentile_approx(
+                F.expr(p["expr"]).cast("double"), q_arr,
+                F.lit(p.get("accuracy", 2500))).alias(name)]
+            if with_rows:
+                aggs.append(F.count(F.lit(1)).alias("rows_checked"))
+            return frame.groupBy("_pid").agg(*aggs)
+
+        joined = side(df, "__qc", True).join(
+            side(ref, "__qr", False), "_pid", "full_outer")
+        both = F.col("__qc").isNotNull() & F.col("__qr").isNotNull()
+        observed = F.when(both, F.array_max(
+            F.zip_with("__qc", "__qr", lambda a, b: F.abs(a - b))))
+        return (
+            joined.select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                observed.cast("double").alias("observed"),
+                F.lit(p.get("max_abs_diff", 0.0)).cast("double")
+                .alias("threshold"),
+                F.coalesce("rows_checked", F.lit(0)).alias("rows_checked"),
+                F.lit(0).cast("long").alias("violation_count"),
+            )
+            .withColumn(
+                "passed",
+                F.coalesce(F.col("observed") <= F.col("threshold"),
+                           F.lit(False)))
         )
 
     def _drift_family(

@@ -222,6 +222,27 @@ def text_equality(
     )
 
 
+def drift_quantile(
+    expr: str,
+    qs: list[float] | None = None,
+    max_abs_diff: float = 0.0,
+    accuracy: int = 2500,
+) -> Constraint:
+    """Quantile drift between snapshots: per partition, the largest
+    absolute difference between current and reference quantiles of
+    ``expr`` at each of ``qs`` must stay ≤ ``max_abs_diff``. Catches
+    tail shifts that binned PSI/KS smears away (a p99 regression inside
+    one histogram bin is invisible to both), at the cost of an absolute
+    rather than distributional threshold. Sketch-based
+    (``percentile_approx``): only sketches shuffle, never values —
+    viable at 10^12 rows like the quantiles family."""
+    return Constraint(
+        f"qdrift:{expr}", "drift_quantile",
+        {"expr": expr, "qs": list(qs) if qs is not None else [0.5, 0.9, 0.99],
+         "max_abs_diff": max_abs_diff, "accuracy": accuracy},
+    )
+
+
 def drift_psi(expr: str, bins: int = 20, lo: float = 0.0, hi: float = 1000.0,
               threshold: float = 0.2, constraint_id: str | None = None) -> Constraint:
     return Constraint(

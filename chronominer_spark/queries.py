@@ -2495,6 +2495,86 @@ FROM x WHERE prev_ts IS NOT NULL AND ts < prev_ts
 """
 
 
+_Q52_QS = [0.5, 0.9, 0.99]
+
+
+def q52_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile drift between snapshots (the math behind the engine's
+    ``drift_quantile`` constraint, engine path pytest-verified): even
+    events are the reference, odd events the current snapshot with a
+    deterministic +20% planted on click values — a tail-heavy shift
+    PSI/KS histograms can smear away. Per (event_type, q): sketch-based
+    drift via percentile_approx on both sides. Like q29, the sketch
+    value itself has no SQL mirror, so the emitted contract is the
+    EXACT drift (computable identically in both engines) plus a
+    RANK-window verdict — the only sound envelope for an element-valued
+    sketch: a value-relative bound fails at the tail where the
+    inter-element gap can be half the value (measured: p99 gap 46% of
+    value at n≈100). The GK sketch guarantees rank error ≤ n/accuracy
+    (< 1 element here), so each side's sketch value must lie within the
+    exact quantile envelope [q−0.02, q+0.02] (sound for n ≥ 50, the
+    foldable-literal form both engines compute identically);
+    ``within_bound`` = both sides inside their envelopes. The oracle
+    asserts the verdict TRUE per row."""
+    e = t(spark, sf_dir, "events")
+    ref = e.where(F.col("event_id") % 2 == 0)
+    cur = e.where(F.col("event_id") % 2 == 1).withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") * 1.2)
+        .otherwise(F.col("value")))
+    delta = 0.02
+    q_arr = F.array(*[F.lit(q) for q in _Q52_QS])
+    lo_arr = F.array(*[F.lit(max(q - delta, 0.0)) for q in _Q52_QS])
+    hi_arr = F.array(*[F.lit(min(q + delta, 1.0)) for q in _Q52_QS])
+
+    def quants(side: DataFrame, tag: str) -> DataFrame:
+        return (
+            side.groupBy("event_type").agg(
+                F.percentile_approx("value", q_arr, F.lit(2500)).alias("__a"),
+                F.percentile("value", q_arr).alias("__x"),
+                F.percentile("value", lo_arr).alias("__lo"),
+                F.percentile("value", hi_arr).alias("__hi"))
+            .select(
+                "event_type",
+                F.explode(F.arrays_zip(
+                    F.array(*[F.lit(q) for q in _Q52_QS]).alias("q"),
+                    F.col("__a").alias(f"{tag}_a"),
+                    F.col("__x").alias(f"{tag}_x"),
+                    F.col("__lo").alias(f"{tag}_lo"),
+                    F.col("__hi").alias(f"{tag}_hi"))).alias("z"))
+            .select("event_type", F.col("z.q").alias("q"),
+                    f"z.{tag}_a", f"z.{tag}_x", f"z.{tag}_lo", f"z.{tag}_hi")
+        )
+
+    def in_env(tag: str) -> F.Column:
+        eps = 1e-9
+        return (F.col(f"{tag}_a") >= F.col(f"{tag}_lo") - eps) \
+            & (F.col(f"{tag}_a") <= F.col(f"{tag}_hi") + eps)
+
+    return (
+        quants(cur, "c").join(quants(ref, "r"), ["event_type", "q"])
+        .select(
+            "event_type", "q",
+            F.round(F.abs(F.col("c_x") - F.col("r_x")), 4)
+            .alias("exact_drift"),
+            (in_env("c") & in_env("r")).alias("within_bound"))
+    )
+
+
+_Q52_SQL = "\nUNION ALL\n".join(
+    f"""SELECT event_type, {q}::DOUBLE AS q,
+       round(abs(
+         quantile_cont(CASE WHEN event_id % 2 = 1 THEN
+           CASE WHEN event_type = 'click' THEN value * 1.2 ELSE value END
+         END, {q})
+         - quantile_cont(CASE WHEN event_id % 2 = 0 THEN value END, {q})
+       ), 4) AS exact_drift,
+       TRUE AS within_bound
+    FROM events GROUP BY event_type"""
+    for q in _Q52_QS
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2547,6 +2627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_repetition_filter": q49_repetition_filter,
     "q50_pii_redaction": q50_pii_redaction,
     "q51_monotonicity_check": q51_monotonicity_check,
+    "q52_quantile_drift": q52_quantile_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -2601,6 +2682,7 @@ ORACLES: dict[str, str] = {
     "q49_repetition_filter": _Q49_SQL,
     "q50_pii_redaction": _Q50_SQL,
     "q51_monotonicity_check": _Q51_SQL,
+    "q52_quantile_drift": _Q52_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

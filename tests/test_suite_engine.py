@@ -500,3 +500,43 @@ def test_monotone_constraint_flags_backward_timestamps(spark):
         constraints=(monotone("ts", ["conv_id"], ["turn_idx"], strict=True),))
     res_s, vio_s = SuiteEvaluator(spark, strict_suite).evaluate(cur)
     assert vio_s.count() == 2
+
+
+def test_drift_quantile_detects_tail_shift(spark):
+    """A +7 shift planted ONLY in the top decile moves p99 by ~7 while
+    the median stays put — drift_quantile flags it; the identical
+    snapshot passes at threshold 0; a partition missing from the
+    reference fails with null observed (uncertifiable)."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, drift_quantile
+
+    rows = [("c%03d" % i, 0, float(i % 100), 1) for i in range(2000)]
+    cur = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, v double, pbucket int")
+    shifted = cur.withColumn(
+        "v", F.when(F.col("v") >= 90, F.col("v") + 7.0).otherwise(F.col("v")))
+
+    suite = ConstraintSuite(
+        name="qd",
+        constraints=(drift_quantile("v", qs=[0.5, 0.99], max_abs_diff=1.0),))
+    ev = SuiteEvaluator(spark, suite)
+
+    # identical snapshots: zero drift even at threshold 0
+    same = ConstraintSuite(
+        name="qd0", constraints=(drift_quantile("v", qs=[0.5, 0.99]),))
+    res0, _ = SuiteEvaluator(spark, same).evaluate(cur, cur)
+    r0 = res0.collect()[0]
+    assert r0["observed"] == 0.0 and r0["passed"]
+
+    # planted tail shift: observed ~7 >> 1.0 threshold
+    res, _ = ev.evaluate(shifted, cur)
+    r = res.collect()[0]
+    assert r["observed"] >= 5.0 and not r["passed"]
+
+    # partition present in cur but absent from ref: uncertifiable
+    cur2 = cur.withColumn(
+        "pbucket", F.when(F.col("conv_id") == "c000", 9).otherwise(1))
+    res2, _ = ev.evaluate(cur2, cur)
+    by_pid = {x["partition_id"]: x for x in res2.collect()}
+    assert by_pid["conv_bucket=9"]["observed"] is None
+    assert not by_pid["conv_bucket=9"]["passed"]
