@@ -2575,6 +2575,57 @@ _Q52_SQL = "\nUNION ALL\n".join(
 )
 
 
+def q53_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy-hitter detection — the hot-key scout run
+    before committing to a shuffle strategy. Two hot keys are planted
+    deterministically (user_id%5 → 'hot_a' ≈20% of the stream,
+    user_id%6 → 'hot_b' ≈13%; the generated stream is skew-free, so
+    the query plants what it must find). The sketch summary is
+    stream-order-dependent, so the emitted rows are the DETERMINISTIC
+    heavy set (exact count·(k+1) > n, identically computable in both
+    engines) with the MG contract as verdicts: every such key must be
+    found, with exact−n/(k+1) ≤ est ≤ exact. Oracle asserts both TRUE."""
+    from chronominer_spark.operators.sketches import heavy_hitters
+
+    k = 8
+    e = t(spark, sf_dir, "events")
+    keyed = e.select(
+        F.when(F.col("user_id") % 5 == 0, F.lit("hot_a"))
+        .when(F.col("user_id") % 6 == 0, F.lit("hot_b"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("item"))
+    sketch = heavy_hitters(keyed, "item", k=k)
+    exact = keyed.groupBy("item").agg(F.count(F.lit(1)).alias("exact_count"))
+    n_df = keyed.agg(F.count(F.lit(1)).alias("__n"))
+    heavy = (
+        exact.crossJoin(F.broadcast(n_df))
+        .where(F.col("exact_count") * (k + 1) > F.col("__n"))
+    )
+    return (
+        heavy.join(sketch, "item", "left")
+        .select(
+            "item", "exact_count",
+            F.col("est_count").isNotNull().alias("found"),
+            (F.col("est_count").isNotNull()
+             & (F.col("est_count") <= F.col("exact_count"))
+             & ((F.col("exact_count") - F.col("est_count")) * (k + 1)
+                <= F.col("__n"))).alias("bounds_ok"))
+    )
+
+
+_Q53_SQL = """
+WITH keyed AS (
+  SELECT CASE WHEN user_id % 5 = 0 THEN 'hot_a'
+              WHEN user_id % 6 = 0 THEN 'hot_b'
+              ELSE 'u' || user_id::VARCHAR END AS item
+  FROM events),
+exact AS (SELECT item, count(*)::BIGINT AS exact_count FROM keyed GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM keyed)
+SELECT item, exact_count, TRUE AS found, TRUE AS bounds_ok
+FROM exact, n WHERE exact_count * 9 > n
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2628,6 +2679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_pii_redaction": q50_pii_redaction,
     "q51_monotonicity_check": q51_monotonicity_check,
     "q52_quantile_drift": q52_quantile_drift,
+    "q53_heavy_hitters": q53_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2683,6 +2735,7 @@ ORACLES: dict[str, str] = {
     "q50_pii_redaction": _Q50_SQL,
     "q51_monotonicity_check": _Q51_SQL,
     "q52_quantile_drift": _Q52_SQL,
+    "q53_heavy_hitters": _Q53_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

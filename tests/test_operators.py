@@ -550,3 +550,35 @@ def test_redact_pii_patterns_and_counts(spark):
 
     with _pytest.raises(ValueError, match="unknown PII kinds"):
         redact_pii(docs, kinds=("email", "ssn"))
+
+
+def test_heavy_hitters_guarantee_under_any_partitioning(spark):
+    """The MG contract must hold regardless of how the stream is split:
+    every key above n/(k+1) is found with exact−n/(k+1) ≤ est ≤ exact,
+    at 1 partition and at 13; with distinct ≤ k the summary is exact."""
+    from chronominer_spark.operators.sketches import heavy_hitters
+
+    # 5000 rows: 'hot' 30%, 'warm' 20%, 100 cold keys sharing the rest
+    rows = [((["hot"] * 3 + ["warm"] * 2 + ["c%02d" % (i % 100)] * 5)[i % 10],)
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "item string")
+    exact = {r["item"]: r["cnt"] for r in
+             df.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n, k = 5000, 4
+
+    for parts in (1, 13):
+        got = {r["item"]: r["est_count"] for r in
+               heavy_hitters(df.repartition(parts), "item", k=k).collect()}
+        assert len(got) <= k
+        for item, cnt in exact.items():
+            if cnt * (k + 1) > n:
+                assert item in got, (parts, item)
+        for item, est in got.items():
+            assert est <= exact[item]
+            assert (exact[item] - est) * (k + 1) <= n
+
+    # distinct <= k: exact counts, no error
+    small = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "item string")
+    got = {r["item"]: r["est_count"] for r in
+           heavy_hitters(small.repartition(3), "item", k=8).collect()}
+    assert got == {"a": 7, "b": 3}
