@@ -2626,6 +2626,111 @@ FROM exact, n WHERE exact_count * 9 > n
 """
 
 
+def q54_suite_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The constraint ENGINE itself under the driver's oracle gate:
+    SuiteEvaluator.evaluate() runs a five-family suite (not_null,
+    in_range, inline-vocab RI, salted unique, monotone) over orders
+    partitioned by o_orderpriority, and the oracle recomputes every
+    per-partition result row — partition lineage, observed rate,
+    threshold, violation count, pass verdict — in plain SQL. The
+    engine families are individually pytest-verified; this row makes
+    the composed evaluate() output itself driver-checked."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite,
+        in_range,
+        monotone,
+        not_null,
+        referential,
+        unique,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    suite = ConstraintSuite(
+        name="orders_audit",
+        constraints=(
+            not_null("o_custkey"),
+            in_range("o_totalprice", lo=0.0, hi=450000.0),
+            referential("o_orderstatus", vocab=["O", "F"]),
+            unique("o_orderkey"),
+            monotone("o_orderdate", ["o_custkey"], ["o_orderkey"]),
+        ),
+        partition_col="o_orderpriority",
+        partition_fmt="prio=%s",
+        key_cols=("o_orderkey",),
+    )
+    res, _ = SuiteEvaluator(spark, suite).evaluate(
+        o, with_violations=False)
+    return res.select(
+        "partition_id", "constraint_id", "snapshot_id", "passed",
+        F.round("observed", 6).alias("observed"),
+        F.round("threshold", 6).alias("threshold"),
+        "rows_checked", "violation_count")
+
+
+_Q54_SQL = """
+WITH base AS (
+  SELECT 'prio=' || o_orderpriority AS pid, * FROM orders),
+mono AS (
+  SELECT pid,
+         CASE WHEN o_orderdate IS NOT NULL
+                   AND lag(o_orderdate) OVER w IS NOT NULL
+                   AND o_orderdate < lag(o_orderdate) OVER w
+              THEN 1 ELSE 0 END AS bad
+  FROM base
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)),
+uq AS (
+  SELECT pid, sum(cnt - 1)::BIGINT AS excess, sum(cnt)::BIGINT AS rows_c
+  FROM (SELECT pid, o_orderkey, count(*)::BIGINT AS cnt
+        FROM base GROUP BY 1, 2)
+  GROUP BY pid)
+SELECT pid AS partition_id, 'not_null:o_custkey' AS constraint_id,
+       0::BIGINT AS snapshot_id,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed,
+       round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS observed,
+       0.0 AS threshold, count(*)::BIGINT AS rows_checked,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS violation_count
+FROM base GROUP BY pid
+UNION ALL
+SELECT pid, 'range:o_totalprice', 0::BIGINT,
+       sum(CASE WHEN o_totalprice IS NOT NULL
+                AND (o_totalprice < 0.0 OR o_totalprice > 450000.0)
+           THEN 1 ELSE 0 END) = 0,
+       round(sum(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0.0 OR o_totalprice > 450000.0)
+             THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+       0.0, count(*)::BIGINT,
+       sum(CASE WHEN o_totalprice IS NOT NULL
+                AND (o_totalprice < 0.0 OR o_totalprice > 450000.0)
+           THEN 1 ELSE 0 END)::BIGINT
+FROM base GROUP BY pid
+UNION ALL
+SELECT pid, 'ri:o_orderstatus', 0::BIGINT,
+       sum(CASE WHEN o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('O', 'F')
+           THEN 1 ELSE 0 END) = 0,
+       round(sum(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F')
+             THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+       0.0, count(*)::BIGINT,
+       sum(CASE WHEN o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('O', 'F')
+           THEN 1 ELSE 0 END)::BIGINT
+FROM base GROUP BY pid
+UNION ALL
+SELECT pid, 'unique:o_orderkey', 0::BIGINT, excess = 0,
+       round(excess * 1.0 / rows_c, 6), 0.0, rows_c, excess
+FROM uq
+UNION ALL
+SELECT pid, 'mono:o_orderdate', 0::BIGINT, sum(bad) = 0,
+       round(sum(bad) * 1.0 / count(*), 6), 0.0,
+       count(*)::BIGINT, sum(bad)::BIGINT
+FROM mono GROUP BY pid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2680,6 +2785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_monotonicity_check": q51_monotonicity_check,
     "q52_quantile_drift": q52_quantile_drift,
     "q53_heavy_hitters": q53_heavy_hitters,
+    "q54_suite_results": q54_suite_results,
 }
 
 ORACLES: dict[str, str] = {
@@ -2736,6 +2842,7 @@ ORACLES: dict[str, str] = {
     "q51_monotonicity_check": _Q51_SQL,
     "q52_quantile_drift": _Q52_SQL,
     "q53_heavy_hitters": _Q53_SQL,
+    "q54_suite_results": _Q54_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
