@@ -250,3 +250,48 @@ def test_plan_shape_lsh_topk_candidates_carry_no_vectors(spark):
                  if "HashAggregate(keys=[query_id" in ln]
     assert agg_lines, p
     assert all("_v" not in ln for ln in agg_lines), agg_lines
+
+
+def test_plan_shape_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination's join must broadcast the benchmark shingle set
+    (the bounded side) and partial-aggregate the per-doc hit counts
+    before any exchange — the corpus side must never shuffle rows or
+    text. A plan that shuffle-joins corpus shingles against the
+    benchmark would move the whole corpus for a bounded dim."""
+    from chronominer_spark.operators.decontam import decontaminate
+    from chronominer_spark.plans.inspect import physical_plan, uses_broadcast_join
+
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(2, "a b c e")], "doc_id long, text string")
+    out = decontaminate(corpus, bench)
+    p = physical_plan(out)
+    assert uses_broadcast_join(out)
+    assert "partial_count" in p or "partial count" in p.lower()
+    assert "SortMergeJoin" not in p
+
+
+def test_plan_shape_shuffle_ri_no_dim_broadcast(spark, transcripts):
+    """strategy='shuffle' exists precisely for dims that cannot be
+    broadcast: the dim-side anti-join must NOT be a broadcast join, and
+    the fact side must collapse to distinct (key, partition) partials
+    before the exchange. (The bad-key broadcast-back for violation rows
+    is exempt — it carries only confirmed-bad keys.)"""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, referential
+    from chronominer_spark.datagen import role_vocab_df
+    from chronominer_spark.plans.inspect import physical_plan
+
+    suite = ConstraintSuite(
+        name="ri_shuf",
+        constraints=(referential("role", vocab_name="roles",
+                                 allow_null=False, strategy="shuffle"),),
+    )
+    ev = SuiteEvaluator(spark, suite, {"roles": role_vocab_df(spark)})
+    res, _ = ev.evaluate(transcripts)
+    p = physical_plan(res)
+    # the counts path (results frame) must resolve the anti-join without
+    # broadcasting the dim: left-anti as shuffled hash/sort-merge only
+    anti_lines = [ln for ln in p.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, p
+    assert all("Broadcast" not in ln for ln in anti_lines), anti_lines
+    assert "partial_count" in p
