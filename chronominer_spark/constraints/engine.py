@@ -59,7 +59,7 @@ _VALUE_TRUNC = 256
 
 ROW_LEVEL_KINDS = {
     "not_null", "not_empty", "referential", "cast_ok",
-    "in_range", "matches", "cross_field_null",
+    "in_range", "matches", "cross_field_null", "expr_check",
 }
 
 
@@ -379,6 +379,16 @@ class SuiteEvaluator:
                 c, pred, p["anchor"],
                 self._sval(F.concat_ws(",", *[F.col(d) for d in p["dependents"]])),
                 F.lit(f"anchor {p['anchor']} null but dependents set"),
+                p.get("max_rate", 0.0))
+        if kind == "expr_check":
+            # violates when the expression is false OR null: a check
+            # must be affirmatively true, so three-valued logic cannot
+            # let a null comparison slide through
+            pred = ~F.coalesce(F.expr(p["expr"]), F.lit(False))
+            return _RowCheck(
+                c, pred, p["name"],
+                self._sval(F.lit(p["expr"])),
+                F.lit("expression not satisfied"),
                 p.get("max_rate", 0.0))
         raise ValueError(f"unknown row-level kind {kind}")
 

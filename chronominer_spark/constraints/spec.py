@@ -121,6 +121,22 @@ def matches(col: str, pattern: str, max_rate: float = 0.0) -> Constraint:
                       {"col": col, "pattern": pattern, "max_rate": max_rate})
 
 
+def expr_check(name: str, expr: str, max_rate: float = 0.0) -> Constraint:
+    """Generic row predicate: ``expr`` is any boolean SQL expression
+    over the row's columns; a row violates when the expression is
+    FALSE **or NULL** (three-valued logic would otherwise let a null
+    comparison silently pass — a check must be affirmatively true).
+    ``name`` keys the constraint id (``check:<name>``) so the same
+    expression can appear under different thresholds. The escape hatch
+    for row rules the typed constructors don't cover (e.g.
+    ``expr_check("len_ok", "length(text) <= 10000")``); fuses into the
+    single row-check scan like every row-level family."""
+    return Constraint(
+        f"check:{name}", "expr_check",
+        {"name": name, "expr": expr, "max_rate": max_rate},
+    )
+
+
 def cross_field_null(anchor: str, dependents: list[str], max_rate: float = 0.0) -> Constraint:
     """When ``anchor`` is null, every dependent must be null too (the
     anchor-null rule, ``schemas/bibliographic_schema.json:98``)."""

@@ -540,3 +540,33 @@ def test_drift_quantile_detects_tail_shift(spark):
     by_pid = {x["partition_id"]: x for x in res2.collect()}
     assert by_pid["conv_bucket=9"]["observed"] is None
     assert not by_pid["conv_bucket=9"]["passed"]
+
+
+def test_expr_check_generic_predicate(spark):
+    """expr_check: arbitrary boolean SQL over the row, fused into the
+    single row-check scan; FALSE and NULL both violate (a check must be
+    affirmatively true); violations carry the expression lineage."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, expr_check
+
+    cur = spark.createDataFrame(
+        [("c1", 0, "short", 1), ("c1", 1, "x" * 50, 1),
+         ("c2", 0, None, 2)],
+        "conv_id string, turn_idx int, text string, pbucket int")
+    suite = ConstraintSuite(
+        name="ec",
+        constraints=(
+            expr_check("len_ok", "length(text) <= 10", max_rate=0.0),
+            expr_check("has_text", "text IS NOT NULL"),
+        ))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(cur)
+    by_id = {(r["partition_id"], r["constraint_id"]): r for r in res.collect()}
+    # len_ok: turn 1 too long; the NULL text row also violates (null len)
+    assert by_id[("conv_bucket=1", "check:len_ok")]["violation_count"] == 1
+    assert by_id[("conv_bucket=2", "check:len_ok")]["violation_count"] == 1
+    assert not by_id[("conv_bucket=1", "check:len_ok")]["passed"]
+    # has_text: only the null-text row
+    assert by_id[("conv_bucket=1", "check:has_text")]["violation_count"] == 0
+    assert by_id[("conv_bucket=2", "check:has_text")]["violation_count"] == 1
+    v = [r for r in vio.collect() if r["constraint_id"] == "check:len_ok"]
+    assert len(v) == 2 and all(r["column"] == "len_ok" for r in v)
