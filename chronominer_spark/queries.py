@@ -2731,6 +2731,154 @@ FROM mono GROUP BY pid
 """
 
 
+def q55_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation funnel: repetition gate (q49) →
+    decontamination gate (q48) → quality gate (q22/q40) → exact dedup
+    winner (q17), with PER-STAGE survivor counts per source — the
+    drop-accounting view an operator of a real corpus pipeline watches.
+    Gates are computed as flags in one joined frame (every join keyed
+    doc_id) and the funnel falls out of conditional sums in a single
+    aggregate, not four sequential filtered scans. Every stage is an
+    individually-oracle-verified operator; this verifies the composed
+    funnel."""
+    from chronominer_spark.operators.decontam import decontaminate
+    from chronominer_spark.operators.textstats import repetition_features
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    d = docs.where(F.col("doc_id") % 10 != 0)
+
+    rep = repetition_features(d, "doc_id", "text", k=2,
+                              max_dup_ngram_frac=0.08,
+                              max_top_ngram_frac=0.1) \
+        .select("doc_id", "repetitive")
+    dec = decontaminate(d, bench, "doc_id", "text", k=3, threshold=0.5) \
+        .select("doc_id", "contaminated")
+    qual = quality_features(d).select(
+        "doc_id", "source", "text", "quality_score")
+
+    flags = (
+        qual.join(rep, "doc_id").join(dec, "doc_id")
+        .withColumn("p_rep", ~F.col("repetitive"))
+        .withColumn("p_dec", F.col("p_rep") & ~F.col("contaminated"))
+        .withColumn("p_q", F.col("p_dec") & (F.col("quality_score") >= 0.5))
+    )
+    ck = F.md5(normalize_text(F.coalesce(F.col("text"), F.lit(""))))
+    winners = (
+        flags.where("p_q")
+        .withColumn("__ck", ck)
+        .groupBy("__ck").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("kept"))
+    )
+    return (
+        flags.join(winners, "doc_id", "left")
+        .groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.col("p_rep").cast("long")).alias("pass_repetition"),
+            F.sum(F.col("p_dec").cast("long")).alias("pass_decontam"),
+            F.sum(F.col("p_q").cast("long")).alias("pass_quality"),
+            F.sum(F.coalesce(F.col("kept"), F.lit(False)).cast("long"))
+            .alias("kept_docs"),
+            F.sum(F.when(F.coalesce(F.col("kept"), F.lit(False)),
+                         token_count("text")).otherwise(0))
+            .alias("total_tokens"),
+        )
+    )
+
+
+def _mk_q55_sql() -> str:
+    norm = _NORM_SQL.format(col="coalesce(text, '')")
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+norm AS (
+  SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+  FROM corpus),
+repb AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2 THEN
+           list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+         ELSE [] END AS grams
+  FROM norm),
+repx AS (SELECT doc_id, unnest(grams) AS gram FROM repb),
+reppg AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM repx GROUP BY 1, 2),
+reppd AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_grams, count(*)::BIGINT AS ndg,
+         max(cnt)::BIGINT AS top
+  FROM reppg GROUP BY 1),
+rep AS (
+  SELECT b.doc_id,
+         (CASE WHEN coalesce(p.n_grams, 0) > 0
+               THEN 1.0 - p.ndg / p.n_grams ELSE 0.0 END) > 0.08
+         OR (CASE WHEN coalesce(p.n_grams, 0) > 0
+               THEN p.top * 1.0 / p.n_grams ELSE 0.0 END) > 0.1 AS repetitive
+  FROM repb b LEFT JOIN reppd p USING (doc_id)),
+shall AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+        FROM documents)),
+benchsh AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM shall WHERE doc_id % 10 = 0),
+corpx AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shall WHERE doc_id % 10 <> 0),
+dec AS (
+  SELECT e.doc_id,
+         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+           / count(*) >= 0.5 AS contaminated
+  FROM corpx e LEFT JOIN benchsh b USING (shingle) GROUP BY e.doc_id),
+feat AS (
+  SELECT doc_id, source, text,
+         len(list_filter(string_split_regex({norm}, '\\s+'),
+                         w -> w <> '')) AS n_words,
+         length(coalesce(text, '')) AS n_chars,
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
+           AS n_alpha
+  FROM corpus),
+scored AS (
+  SELECT doc_id, source, text,
+         round(0.4 * least(n_words / 20.0, 1.0)
+               + 0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                        ELSE 0.0 END)
+               + 0.2 * (1.0 - least((CASE WHEN n_chars > 0
+                                     THEN n_punct / n_chars ELSE 0.0 END) * 4,
+                                    1.0)), 6) AS quality_score
+  FROM feat),
+flags AS (
+  SELECT s.doc_id, s.source, s.text,
+         NOT r.repetitive AS p_rep,
+         NOT r.repetitive AND NOT d.contaminated AS p_dec,
+         NOT r.repetitive AND NOT d.contaminated
+           AND s.quality_score >= 0.5 AS p_q
+  FROM scored s JOIN rep r USING (doc_id) JOIN dec d USING (doc_id)),
+winners AS (
+  SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id, md5({norm}) AS ck FROM flags WHERE p_q)
+  GROUP BY ck)
+SELECT f.source, count(*)::BIGINT AS n_input,
+       sum(CASE WHEN f.p_rep THEN 1 ELSE 0 END)::BIGINT AS pass_repetition,
+       sum(CASE WHEN f.p_dec THEN 1 ELSE 0 END)::BIGINT AS pass_decontam,
+       sum(CASE WHEN f.p_q THEN 1 ELSE 0 END)::BIGINT AS pass_quality,
+       sum(CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS kept_docs,
+       sum(CASE WHEN w.doc_id IS NOT NULL THEN
+           len(regexp_extract_all(coalesce(f.text, ''),
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           ELSE 0 END)::BIGINT AS total_tokens
+FROM flags f LEFT JOIN winners w USING (doc_id)
+GROUP BY f.source
+"""
+
+
+_Q55_SQL = _mk_q55_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2786,6 +2934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_quantile_drift": q52_quantile_drift,
     "q53_heavy_hitters": q53_heavy_hitters,
     "q54_suite_results": q54_suite_results,
+    "q55_curation_funnel": q55_curation_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -2843,6 +2992,7 @@ ORACLES: dict[str, str] = {
     "q52_quantile_drift": _Q52_SQL,
     "q53_heavy_hitters": _Q53_SQL,
     "q54_suite_results": _Q54_SQL,
+    "q55_curation_funnel": _Q55_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
