@@ -353,11 +353,19 @@ def out_of_order(
     Null current/previous values are never violations (there is nothing
     to compare). Returns the violating input rows plus ``prev_col``.
 
+    ``order_by`` ties (e.g. duplicate (conv, turn) keys) are resolved
+    by ascending ``value_col``, making the window a TOTAL order: a tie
+    can never itself create a violation, and the result is identical
+    under any input partitioning / shuffle width — without the
+    tiebreaker, ``lag`` over tied keys is partition-order-dependent
+    (caught by tests/test_parallelism_invariance.py).
+
     Scale posture: one window partitioned by the group key — the same
     exchange class as the engine's stable-turn-ordering path; per-group
     state is a single lag value, so skewed groups stream rather than
     accumulate."""
-    w = W.partitionBy(*partition_by).orderBy(*[F.col(c).asc() for c in order_by])
+    w = W.partitionBy(*partition_by).orderBy(
+        *[F.col(c).asc() for c in order_by], F.col(value_col).asc())
     out = df.withColumn(prev_col, F.lag(F.col(value_col)).over(w))
     p, v = F.col(prev_col), F.col(value_col)
     bad = (v <= p) if strict else (v < p)

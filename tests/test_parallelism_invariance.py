@@ -62,3 +62,56 @@ def test_violations_invariant_under_repartitioning(spark, transcripts, ref_snaps
     )
     assert vio_a.exceptAll(vio_b).count() == 0
     assert vio_b.exceptAll(vio_a).count() == 0
+
+
+def test_round4_families_invariant_under_repartitioning(spark, transcripts,
+                                                        ref_snapshot):
+    """The round-4 constraint families obey the same N-vs-4N identity
+    contract: monotone and expr_check must match on full rows including
+    observed; drift_quantile (sketch-valued observed) on the stable
+    columns."""
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite,
+        drift_quantile,
+        expr_check,
+        monotone,
+    )
+
+    suite = ConstraintSuite(
+        name="r4",
+        constraints=(
+            monotone("ts", ["conv_id"], ["turn_idx"]),
+            expr_check("text_cap", "length(text) <= 100000"),
+            drift_quantile("turn_idx", qs=[0.5, 0.99], max_abs_diff=5.0),
+        ))
+
+    def run(df, ref, shuffle):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+        try:
+            res, vio = SuiteEvaluator(spark, suite).evaluate(
+                df, ref, snapshot_id=4)
+            return res.cache(), vio.cache()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    res_a, vio_a = run(transcripts, ref_snapshot, 4)
+    res_b, vio_b = run(transcripts.repartition(64),
+                       ref_snapshot.repartition(16), 32)
+
+    exact_a = res_a.where(~F.col("constraint_id").startswith("qdrift:")) \
+        .select(*STABLE_COLS, F.round("observed", 9).alias("obs"))
+    exact_b = res_b.where(~F.col("constraint_id").startswith("qdrift:")) \
+        .select(*STABLE_COLS, F.round("observed", 9).alias("obs"))
+    assert exact_a.exceptAll(exact_b).count() == 0
+    assert exact_b.exceptAll(exact_a).count() == 0
+
+    qa = res_a.where(F.col("constraint_id").startswith("qdrift:")) \
+        .select(STABLE_COLS)
+    qb = res_b.where(F.col("constraint_id").startswith("qdrift:")) \
+        .select(STABLE_COLS)
+    assert qa.count() > 0
+    assert qa.exceptAll(qb).count() == 0 and qb.exceptAll(qa).count() == 0
+
+    assert vio_a.exceptAll(vio_b).count() == 0
+    assert vio_b.exceptAll(vio_a).count() == 0
