@@ -149,6 +149,7 @@ def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 2,
     max_dup_ngram_frac: float = 0.6, max_top_ngram_frac: float = 0.2,
+    method: str = "fold",
 ) -> DataFrame:
     """Within-document repetition profile — the Gopher-family quality
     filters (duplicate-n-gram fraction and most-frequent-n-gram
@@ -167,13 +168,19 @@ def repetition_features(
     - ``repetitive`` = dup_ngram_frac > max_dup_ngram_frac OR
       top_ngram_frac > max_top_ngram_frac
 
-    Scale posture: one scan; word-level stats ride as projection
-    columns through the gram explode, so the only exchanges are the
-    two hash aggregates keyed (doc, gram) then (doc) — both
-    map-side-combining, both bounded by the corpus token count (the
-    same exchange class as every shingle pipeline here). Docs shorter
-    than k words get zero-valued fractions via ``explode_outer``.
+    Scale posture — ``method='fold'`` (default): a SHUFFLE-FREE pure
+    projection. All three gram statistics come from the sorted gram
+    array in-row: distinct count via ``array_distinct``, modal count as
+    the longest equal-run in the sorted array via one ``F.aggregate``
+    fold. Zero exchanges — at 100 TB this beats the explode plan, whose
+    (doc, gram) hash aggregate exchanges rows bounded by the corpus
+    token count. ``method='explode'`` keeps that two-aggregate plan
+    (map-side-combining, docs shorter than k words survive via
+    ``explode_outer``) as the cross-check reference; pytest asserts the
+    two methods agree row-for-row.
     """
+    if method not in ("fold", "explode"):
+        raise ValueError(f"method must be 'fold' or 'explode', got {method!r}")
     c = F.coalesce(F.col(text_col), F.lit(""))
     ws = F.split(F.lower(F.trim(c)), r"\s+")
     n_words = F.size(ws)
@@ -184,6 +191,34 @@ def repetition_features(
             lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+    if method == "fold":
+        sg = F.array_sort(grams)
+        # longest equal-run in the sorted array == modal gram count
+        top = F.aggregate(
+            sg,
+            F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+                     F.lit(0).cast("long").alias("best")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        per_doc = df.select(
+            F.col(id_col),
+            n_words.alias("n_words"),
+            F.size(F.array_distinct(ws)).alias("__ndw"),
+            F.size(grams).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("long").alias("__ndg"),
+            top.alias("__top"),
+        )
+        return _repetition_select(per_doc, id_col,
+                                  max_dup_ngram_frac, max_top_ngram_frac)
 
     exploded = df.select(
         F.col(id_col),
@@ -204,6 +239,17 @@ def repetition_features(
         F.sum(F.when(live, 1).otherwise(0)).alias("__ndg"),
         F.max(F.when(live, F.col("__cnt")).otherwise(0)).alias("__top"),
     )
+    return _repetition_select(per_doc, id_col,
+                              max_dup_ngram_frac, max_top_ngram_frac)
+
+
+def _repetition_select(
+    per_doc: DataFrame, id_col: str,
+    max_dup_ngram_frac: float, max_top_ngram_frac: float,
+) -> DataFrame:
+    """Shared output projection over (id, n_words, __ndw, n_grams,
+    __ndg, __top) — both repetition plans must emit bit-identical
+    fractions and flags."""
     safe_w = F.greatest(F.col("n_words"), F.lit(1))
     safe_g = F.greatest(F.col("n_grams"), F.lit(1))
     dup_w = 1.0 - F.col("__ndw") / safe_w
@@ -215,7 +261,7 @@ def repetition_features(
         F.col(id_col),
         F.col("n_words"),
         F.round(dup_w, 6).alias("dup_word_frac"),
-        F.col("n_grams"),
+        F.col("n_grams").cast("long").alias("n_grams"),
         F.round(dup_g, 6).alias("dup_ngram_frac"),
         F.round(top_g, 6).alias("top_ngram_frac"),
         ((dup_g > max_dup_ngram_frac) | (top_g > max_top_ngram_frac))

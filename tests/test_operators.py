@@ -582,3 +582,24 @@ def test_heavy_hitters_guarantee_under_any_partitioning(spark):
     got = {r["item"]: r["est_count"] for r in
            heavy_hitters(small.repartition(3), "item", k=8).collect()}
     assert got == {"a": 7, "b": 3}
+
+
+def test_repetition_fold_plan_matches_explode_and_is_shuffle_free(spark):
+    """The default fold plan (sorted-array longest-run) must agree
+    row-for-row with the explode reference plan on messy inputs, and
+    must compile to ZERO exchanges — it is a pure projection."""
+    from chronominer_spark.operators.textstats import repetition_features
+    from chronominer_spark.plans.inspect import count_exchanges
+
+    docs = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now buy now"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "single"), (4, None), (5, ""),
+         (6, "a a a a b b a a a")],
+        "doc_id long, text string")
+    fold = repetition_features(docs, k=2, method="fold")
+    expl = repetition_features(docs, k=2, method="explode")
+    assert count_exchanges(fold) == 0
+    rows_f = sorted(map(tuple, fold.collect()))
+    rows_e = sorted(map(tuple, expl.collect()))
+    assert rows_f == rows_e
