@@ -255,3 +255,88 @@ class IncrementalNearDup:
         if p is None:
             return self.spark.createDataFrame([], "id_a long, id_b long")
         return p.distinct()
+
+
+class IncrementalHeavyHitters:
+    """Streaming twin of
+    :func:`chronominer_spark.operators.sketches.heavy_hitters`: a
+    Misra–Gries summary folded across micro-batches.
+
+    Mergeable-summaries theory (Agarwal et al. 2012) makes the fold
+    sound for ANY merge tree, including this left-deep sequential one:
+    after every batch the state satisfies ``true − n_total/(k+1) ≤ est
+    ≤ true`` over everything ingested so far, with n_total the running
+    item count. State is ≤ k item rows plus one total row — O(k), never
+    O(stream) — committed per batch through :class:`SnapshotTable`'s
+    atomic pointer flip with replayed batch ids skipped (the same ST6
+    idempotence contract as :class:`IncrementalExactDedup`)."""
+
+    def __init__(self, spark: SparkSession, state_root: str,
+                 col: str, k: int = 8):
+        self.spark = spark
+        self.table = SnapshotTable(spark, state_root)
+        self.col = col
+        self.k = k
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        from chronominer_spark.operators.sketches import (
+            _mg_compress,
+            heavy_hitters,
+        )
+
+        op = f"hh_batch={batch_id}"
+        if any(s.operation == op for s in self.table.snapshots()):
+            return
+        n_b = batch_df.where(F.col(self.col).isNotNull()).count()
+        partial = heavy_hitters(batch_df, self.col, self.k) \
+            .withColumnRenamed("est_count", "cnt")
+        if self.table.exists():
+            state = self.table.read()
+            total = state.where(F.col("item").isNull()) \
+                .agg(F.sum("cnt")).collect()[0][0] or 0
+            items = state.where(F.col("item").isNotNull())
+            k = self.k
+
+            def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+                counts = _mg_compress(
+                    pdf.groupby("item")["cnt"].sum().to_dict(), k)
+                return pd.DataFrame(
+                    {"item": list(counts), "cnt": list(counts.values())})
+
+            merged = (
+                items.unionByName(partial)
+                .withColumn("_one", F.lit(1))
+                .groupBy("_one")
+                .applyInPandas(merge, "item string, cnt long")
+            )
+            new_total = int(total) + int(n_b)
+        else:
+            merged = partial
+            new_total = int(n_b)
+        total_row = self.spark.createDataFrame(
+            [(None, new_total)], "item string, cnt long")
+        self.table.write_snapshot(
+            merged.unionByName(total_row), operation=op)
+
+    def attach(self, stream_df: DataFrame,
+               checkpoint_dir: str) -> StreamingQuery:
+        return (
+            stream_df.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def result(self) -> tuple[DataFrame, int]:
+        """(summary DataFrame (item, est_count), total items ingested)."""
+        state = self.table.read()
+        total = state.where(F.col("item").isNull()) \
+            .agg(F.sum("cnt")).collect()[0][0] or 0
+        return (
+            state.where(F.col("item").isNotNull())
+            .select("item", F.col("cnt").alias("est_count")),
+            int(total),
+        )

@@ -297,3 +297,45 @@ def test_incremental_dedup_partial_commit_links_untouched_buckets(spark, tmp_pat
     # equals batch dedup of just the first batch
     v1_state = inc.table.read(1)
     assert v1_state.count() == exact_dedup(docs, "doc_id", "text").count()
+
+
+def test_incremental_heavy_hitters_contract_across_batches(spark, tmp_path):
+    """Streaming twin of the Misra-Gries sketch: the same planted-skew
+    stream split into 3 micro-batches must, after the fold, satisfy the
+    MG contract over EVERYTHING ingested (every key above n/(k+1) found
+    with true - n/(k+1) <= est <= true), keep state at <= k item rows,
+    and skip a replayed batch id."""
+    from chronominer_spark.streaming.dedup_stream import IncrementalHeavyHitters
+
+    rows = [(i, (["hot"] * 3 + ["warm"] * 2
+                 + ["c%02d" % (i % 100)] * 5)[i % 10]) for i in range(6000)]
+    full = spark.createDataFrame(rows, "rid long, item string")
+
+    src = str(tmp_path / "hh_stream")
+    for i in range(3):
+        (full.where(F.pmod(F.col("rid"), F.lit(3)) == i)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    k = 4
+    inc = IncrementalHeavyHitters(spark, str(tmp_path / "hh_state"),
+                                  "item", k=k)
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    inc.attach(stream, str(tmp_path / "hh_ckpt")).awaitTermination()
+    assert len(inc.table.snapshots()) == 3
+
+    summary, n_total = inc.result()
+    got = {r["item"]: r["est_count"] for r in summary.collect()}
+    assert n_total == 6000 and len(got) <= k
+    exact = {r["item"]: r["cnt"] for r in
+             full.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for item, cnt in exact.items():
+        if cnt * (k + 1) > n_total:
+            assert item in got, item
+    for item, est in got.items():
+        assert est <= exact[item]
+        assert (exact[item] - est) * (k + 1) <= n_total
+
+    before = inc.table.current_snapshot_id()
+    inc.process_batch(full.limit(50), 0)
+    assert inc.table.current_snapshot_id() == before
