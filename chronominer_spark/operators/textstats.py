@@ -149,7 +149,7 @@ def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 2,
     max_dup_ngram_frac: float = 0.6, max_top_ngram_frac: float = 0.2,
-    method: str = "fold",
+    method: str = "explode",
 ) -> DataFrame:
     """Within-document repetition profile — the Gopher-family quality
     filters (duplicate-n-gram fraction and most-frequent-n-gram
@@ -168,16 +168,19 @@ def repetition_features(
     - ``repetitive`` = dup_ngram_frac > max_dup_ngram_frac OR
       top_ngram_frac > max_top_ngram_frac
 
-    Scale posture — ``method='fold'`` (default): a SHUFFLE-FREE pure
-    projection. All three gram statistics come from the sorted gram
-    array in-row: distinct count via ``array_distinct``, modal count as
-    the longest equal-run in the sorted array via one ``F.aggregate``
-    fold. Zero exchanges — at 100 TB this beats the explode plan, whose
-    (doc, gram) hash aggregate exchanges rows bounded by the corpus
-    token count. ``method='explode'`` keeps that two-aggregate plan
-    (map-side-combining, docs shorter than k words survive via
-    ``explode_outer``) as the cross-check reference; pytest asserts the
-    two methods agree row-for-row.
+    Scale posture — ``method='explode'`` (default): two hash
+    aggregates keyed (doc, gram) then (doc), both map-side-combining
+    and fully whole-stage-codegen'd; docs shorter than k words survive
+    via ``explode_outer``. ``method='fold'`` is the measured-and-
+    REJECTED shuffle-free alternative (all three gram statistics from
+    the sorted gram array in-row, modal count via one ``F.aggregate``
+    longest-equal-run fold, zero exchanges): at sf0.1/local[32] it runs
+    ~4x SLOWER warm (18.7 s vs 4.7 s) because higher-order-function
+    lambdas evaluate interpreted per element while the explode plan
+    stays inside codegen, and the (doc, gram) exchange mostly collapses
+    map-side anyway — shuffle-free is not free CPU. Kept (with a
+    row-for-row pytest equality) as the documented negative result and
+    for exchange-constrained deployments.
     """
     if method not in ("fold", "explode"):
         raise ValueError(f"method must be 'fold' or 'explode', got {method!r}")

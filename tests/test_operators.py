@@ -585,9 +585,10 @@ def test_heavy_hitters_guarantee_under_any_partitioning(spark):
 
 
 def test_repetition_fold_plan_matches_explode_and_is_shuffle_free(spark):
-    """The default fold plan (sorted-array longest-run) must agree
-    row-for-row with the explode reference plan on messy inputs, and
-    must compile to ZERO exchanges — it is a pure projection."""
+    """The fold plan (sorted-array longest-run; measured-and-rejected
+    as default — see the operator docstring) must agree row-for-row
+    with the default explode plan on messy inputs, and must compile to
+    ZERO exchanges — it is a pure projection."""
     from chronominer_spark.operators.textstats import repetition_features
     from chronominer_spark.plans.inspect import count_exchanges
 
