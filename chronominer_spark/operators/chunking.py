@@ -166,3 +166,66 @@ def token_budget_chunks(
         .groupBy(doc_col)
         .applyInPandas(_chunk, schema)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Sequence packing — the pretraining batch-construction op: within
+    each ``group_col`` (source / shard), documents ordered by ``id_col``
+    are greedily packed into fixed-token-budget training sequences (a
+    pack closes when adding the next doc would exceed ``budget``; a
+    single over-budget doc still forms its own pack, mirroring
+    :func:`chunk_line_ranges`, whose boundary function this reuses at
+    the doc grain instead of the line grain).
+
+    Output: one row per doc with 1-based ``pack_id`` and the doc's
+    0-based ``pack_offset`` in tokens within its pack — what a sequence
+    writer needs to place each doc.
+
+    Scale posture: shuffle = groupBy(group) only; per-group work is the
+    O(#packs·log n) searchsorted walk in one Arrow batch, state bounded
+    by the group's doc count (groups are shards — bounded by
+    construction)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    g_field, i_field = df.schema[group_col], df.schema[id_col]
+    schema = T.StructType([
+        T.StructField(group_col, g_field.dataType, g_field.nullable),
+        T.StructField(id_col, i_field.dataType, i_field.nullable),
+        T.StructField(tokens_col, T.LongType(), False),
+        T.StructField("pack_id", T.LongType(), False),
+        T.StructField("pack_offset", T.LongType(), False),
+    ])
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        toks = pdf[tokens_col].to_numpy(dtype=np.int64)
+        starts, ends = chunk_line_ranges(toks, budget)
+        n = len(toks)
+        if n == 0:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        sizes = ends - starts + 1
+        pack_ids = np.repeat(
+            np.arange(1, len(starts) + 1, dtype=np.int64), sizes)
+        cumsum = np.cumsum(toks, dtype=np.int64)
+        pack_base = np.repeat(
+            np.where(starts > 0, cumsum[starts - 1], 0), sizes)
+        offsets = cumsum - toks - pack_base
+        return pd.DataFrame({
+            group_col: pdf[group_col].to_numpy(),
+            id_col: pdf[id_col].to_numpy(),
+            tokens_col: toks,
+            "pack_id": pack_ids,
+            "pack_offset": offsets,
+        })
+
+    return (
+        df.select(group_col, id_col, tokens_col)
+        .groupBy(group_col)
+        .applyInPandas(_pack, schema)
+    )

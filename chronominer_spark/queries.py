@@ -2879,6 +2879,48 @@ GROUP BY f.source
 _Q55_SQL = _mk_q55_sql()
 
 
+def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: per source, docs in
+    doc_id order are greedily packed into 200-token training sequences
+    (q33's budget-walk at the doc grain — pack closes when the next doc
+    would overflow; an over-budget doc packs alone). Oracle: the same
+    greedy walk as a recursive CTE, one step per doc per source."""
+    from chronominer_spark.operators.chunking import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id",
+        F.size(F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+                       r"\s+")).cast("long").alias("n_tok"))
+    return pack_sequences(toks, "source", "doc_id", "n_tok", budget=200)
+
+
+_Q56_SQL = """
+WITH RECURSIVE docs AS (
+  SELECT source, doc_id,
+         len(string_split_regex(lower(trim(coalesce(text, ''))),
+             '\\s+'))::BIGINT AS n_tok,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id ASC))::BIGINT
+           AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, doc_id, n_tok, rn,
+         1::BIGINT AS pack_id, 0::BIGINT AS pack_offset, n_tok AS cur
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n_tok, d.rn,
+         CASE WHEN w.cur + d.n_tok > 200 THEN w.pack_id + 1
+              ELSE w.pack_id END,
+         CASE WHEN w.cur + d.n_tok > 200 THEN 0 ELSE w.cur END,
+         CASE WHEN w.cur + d.n_tok > 200 THEN d.n_tok
+              ELSE w.cur + d.n_tok END
+  FROM walk w JOIN docs d ON d.source = w.source AND d.rn = w.rn + 1
+)
+SELECT source, doc_id, n_tok, pack_id, pack_offset FROM walk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2935,6 +2977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_heavy_hitters": q53_heavy_hitters,
     "q54_suite_results": q54_suite_results,
     "q55_curation_funnel": q55_curation_funnel,
+    "q56_sequence_packing": q56_sequence_packing,
 }
 
 ORACLES: dict[str, str] = {
@@ -2993,6 +3036,7 @@ ORACLES: dict[str, str] = {
     "q53_heavy_hitters": _Q53_SQL,
     "q54_suite_results": _Q54_SQL,
     "q55_curation_funnel": _Q55_SQL,
+    "q56_sequence_packing": _Q56_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

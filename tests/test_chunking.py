@@ -182,3 +182,29 @@ def test_tiktoken_udf_matches_golden_when_available(spark):
            df.select("i", tiktoken_count("text").alias("n")).collect()}
     for i, (text, golden) in enumerate(pairs):
         assert got[i] == golden, (text, got[i], golden)
+
+
+def test_pack_sequences_greedy_boundaries(spark):
+    """Doc-grain packing: pack closes when the next doc would overflow;
+    an over-budget doc packs alone; offsets are the running token
+    position within the pack; groups are independent."""
+    from chronominer_spark.operators.chunking import pack_sequences
+
+    rows = [("s1", 1, 80), ("s1", 2, 100), ("s1", 3, 30),  # 80+100 ok, +30 no
+            ("s1", 4, 500),                                 # alone, over budget
+            ("s1", 5, 10),
+            ("s2", 1, 200)]                                 # exactly budget
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    got = {(r["source"], r["doc_id"]): (r["pack_id"], r["pack_offset"])
+           for r in pack_sequences(df, "source", "doc_id", "n_tok",
+                                   budget=200).collect()}
+    assert got[("s1", 1)] == (1, 0)
+    assert got[("s1", 2)] == (1, 80)
+    assert got[("s1", 3)] == (2, 0)     # 80+100+30 > 200 -> new pack
+    assert got[("s1", 4)] == (3, 0)     # 500 > 200 packs alone
+    assert got[("s1", 5)] == (4, 0)     # after an over-budget pack
+    assert got[("s2", 1)] == (1, 0)     # exact-budget doc fits pack 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "source", "doc_id", "n_tok", budget=0)
