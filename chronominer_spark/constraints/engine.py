@@ -63,6 +63,29 @@ ROW_LEVEL_KINDS = {
 }
 
 
+def schema_diff(
+    df: DataFrame, expected: dict[str, str], allow_extra: bool = False,
+) -> list[str]:
+    """Human-readable schema mismatches: missing columns, type
+    mismatches (Spark ``simpleString`` types), and — unless
+    ``allow_extra`` — unexpected columns. Pure driver-side metadata;
+    runs no job."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    diffs: list[str] = []
+    for name, typ in expected.items():
+        if name not in actual:
+            diffs.append(f"missing column {name}:{typ}")
+        elif actual[name] != typ:
+            diffs.append(f"type mismatch {name}: expected {typ}, "
+                         f"got {actual[name]}")
+    if not allow_extra:
+        internal = {"_pid"}
+        diffs.extend(f"unexpected column {name}:{actual[name]}"
+                     for name in actual
+                     if name not in expected and name not in internal)
+    return diffs
+
+
 @dataclass
 class _RowCheck:
     constraint: Constraint
@@ -275,6 +298,12 @@ class SuiteEvaluator:
                 if ref is None:
                     continue
                 results.append(self._drift_quantile(df, ref, c))
+            elif c.kind == "schema_match":
+                results.append(self._schema_match(df, c))
+            elif c.kind == "row_count_drift":
+                if ref is None:
+                    continue
+                results.append(self._row_count_drift(df, ref, c))
 
         if drift_cs and ref is not None:
             results.extend(self._drift_family(
@@ -1238,6 +1267,50 @@ class SuiteEvaluator:
     def _histogram(df: DataFrame, b: F.Column, cnt_name: str) -> DataFrame:
         return df.groupBy("_pid", b.alias("bin")).agg(
             F.count(F.lit(1)).alias(cnt_name)
+        )
+
+    def _schema_match(self, df: DataFrame, c: Constraint) -> DataFrame:
+        """Metadata-only: diff the frame's schema against the declared
+        one on the driver (no Spark job) and emit a single table-level
+        result row — partition lineage does not apply to a property of
+        the whole table."""
+        diffs = schema_diff(df, c.params["expected"],
+                            c.params.get("allow_extra", False))
+        return self.spark.createDataFrame(
+            [("__table__", c.constraint_id, float(len(diffs)), 0.0,
+              len(df.columns), len(diffs), len(diffs) == 0)],
+            "partition_id string, constraint_id string, observed double, "
+            "threshold double, rows_checked long, violation_count long, "
+            "passed boolean",
+        )
+
+    def _row_count_drift(
+        self, df: DataFrame, ref: DataFrame, c: Constraint
+    ) -> DataFrame:
+        """Per-partition |cur/ref − 1| ≤ max_rel_change; a partition on
+        only one side is uncertifiable (null observed, failed). Two
+        count aggregates — the cheapest cross-snapshot check there is."""
+        thr = c.params.get("max_rel_change", 0.0)
+        cur_n = df.groupBy("_pid").agg(F.count(F.lit(1)).alias("__cn"))
+        ref_n = ref.groupBy("_pid").agg(F.count(F.lit(1)).alias("__rn"))
+        joined = cur_n.join(ref_n, "_pid", "full_outer")
+        both = F.col("__cn").isNotNull() & F.col("__rn").isNotNull()
+        observed = F.when(both, F.abs(F.col("__cn") / F.col("__rn") - 1.0))
+        return (
+            joined.select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                observed.cast("double").alias("observed"),
+                F.lit(thr).cast("double").alias("threshold"),
+                F.coalesce("__cn", F.lit(0)).alias("rows_checked"),
+                F.abs(F.coalesce("__cn", F.lit(0))
+                      - F.coalesce("__rn", F.lit(0))).cast("long")
+                .alias("violation_count"),
+            )
+            .withColumn(
+                "passed",
+                F.coalesce(F.col("observed") <= F.col("threshold"),
+                           F.lit(False)))
         )
 
     def _drift_quantile(

@@ -238,6 +238,34 @@ def text_equality(
     )
 
 
+def schema_match(expected: dict[str, str], allow_extra: bool = False) -> Constraint:
+    """The table's schema must carry every expected column at the
+    expected Spark type (``simpleString`` form, e.g. ``"bigint"``,
+    ``"array<float>"``); ``allow_extra=False`` also counts unexpected
+    columns as mismatches. A metadata check — evaluated from the
+    DataFrame schema with NO data scan — emitted as one table-level
+    result row (partition_id ``__table__``), observed = mismatch count.
+    Use :func:`chronominer_spark.constraints.engine.schema_diff` for
+    the human-readable diff."""
+    return Constraint(
+        "schema:table", "schema_match",
+        {"expected": dict(expected), "allow_extra": allow_extra},
+    )
+
+
+def row_count_drift(max_rel_change: float = 0.0) -> Constraint:
+    """Per-partition row-count reconciliation between snapshots:
+    |cur/ref − 1| must stay ≤ ``max_rel_change``. Catches silent volume
+    loss or duplication that per-row checks cannot (every row can be
+    individually valid while half of them are missing). A partition
+    present on only one side is uncertifiable and fails with null
+    observed."""
+    return Constraint(
+        "rowcount:table", "row_count_drift",
+        {"max_rel_change": max_rel_change},
+    )
+
+
 def drift_quantile(
     expr: str,
     qs: list[float] | None = None,

@@ -570,3 +570,61 @@ def test_expr_check_generic_predicate(spark):
     assert by_id[("conv_bucket=2", "check:has_text")]["violation_count"] == 1
     v = [r for r in vio.collect() if r["constraint_id"] == "check:len_ok"]
     assert len(v) == 2 and all(r["column"] == "len_ok" for r in v)
+
+
+def test_schema_match_and_row_count_drift(spark):
+    """schema_match: metadata-only table-level verdict (missing / type
+    mismatch / unexpected columns); row_count_drift: per-partition
+    volume reconciliation with uncertifiable one-sided partitions."""
+    from datetime import datetime
+
+    from chronominer_spark.constraints.engine import SuiteEvaluator, schema_diff
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite,
+        row_count_drift,
+        schema_match,
+    )
+
+    ts = datetime(2024, 1, 1)
+    cur = spark.createDataFrame(
+        [("c1", 0, "a", ts, 1)] * 4 + [("c2", 0, "b", ts, 2)] * 6,
+        "conv_id string, turn_idx int, text string, ts timestamp, pbucket int")
+    ref = spark.createDataFrame(
+        [("c1", 0, "a", ts, 1)] * 5 + [("c3", 0, "c", ts, 3)] * 2,
+        "conv_id string, turn_idx int, text string, ts timestamp, pbucket int")
+
+    expected = {"conv_id": "string", "turn_idx": "int", "text": "string",
+                "ts": "timestamp", "pbucket": "int"}
+    suite = ConstraintSuite(
+        name="meta",
+        constraints=(schema_match(expected),
+                     row_count_drift(max_rel_change=0.25)))
+    res, _ = SuiteEvaluator(spark, suite).evaluate(cur, ref)
+    rows = {(r["partition_id"], r["constraint_id"]): r for r in res.collect()}
+
+    ok = rows[("__table__", "schema:table")]
+    assert ok["passed"] and ok["violation_count"] == 0
+
+    # pbucket 1: 4 vs 5 -> 20% drop, inside 25% tolerance
+    r1 = rows[("conv_bucket=1", "rowcount:table")]
+    assert r1["passed"] and abs(r1["observed"] - 0.2) < 1e-9
+    assert r1["violation_count"] == 1
+    # pbucket 2: cur-only -> uncertifiable; pbucket 3: ref-only
+    assert not rows[("conv_bucket=2", "rowcount:table")]["passed"]
+    assert rows[("conv_bucket=2", "rowcount:table")]["observed"] is None
+    assert not rows[("conv_bucket=3", "rowcount:table")]["passed"]
+    assert rows[("conv_bucket=3", "rowcount:table")]["rows_checked"] == 0
+
+    # planted schema damage: dropped column, wrong type, extra column
+    bad = cur.withColumn("extra", F.lit(1)) \
+        .withColumn("turn_idx", F.col("turn_idx").cast("long")) \
+        .drop("text")
+    diffs = schema_diff(bad, expected)
+    assert sorted(d.split(" ")[0] for d in diffs) \
+        == ["missing", "type", "unexpected"]
+    res2, _ = SuiteEvaluator(
+        spark, ConstraintSuite(name="meta2",
+                               constraints=(schema_match(expected),))
+    ).evaluate(bad)
+    r2 = res2.collect()[0]
+    assert not r2["passed"] and r2["violation_count"] == 3
