@@ -1276,9 +1276,12 @@ class SuiteEvaluator:
         the whole table."""
         diffs = schema_diff(df, c.params["expected"],
                             c.params.get("allow_extra", False))
+        # rows_checked = declared columns checked (the frame also
+        # carries the engine-internal _pid, which is no part of the
+        # user's schema)
         return self.spark.createDataFrame(
             [("__table__", c.constraint_id, float(len(diffs)), 0.0,
-              len(df.columns), len(diffs), len(diffs) == 0)],
+              len(c.params["expected"]), len(diffs), len(diffs) == 0)],
             "partition_id string, constraint_id string, observed double, "
             "threshold double, rows_checked long, violation_count long, "
             "passed boolean",

@@ -2628,8 +2628,9 @@ FROM exact, n WHERE exact_count * 9 > n
 
 def q54_suite_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The constraint ENGINE itself under the driver's oracle gate:
-    SuiteEvaluator.evaluate() runs a five-family suite (not_null,
-    in_range, inline-vocab RI, salted unique, monotone) over orders
+    SuiteEvaluator.evaluate() runs a six-family suite (not_null,
+    in_range, inline-vocab RI, salted unique, monotone, declared-schema
+    conformance) over orders
     partitioned by o_orderpriority, and the oracle recomputes every
     per-partition result row — partition lineage, observed rate,
     threshold, violation count, pass verdict — in plain SQL. The
@@ -2642,6 +2643,7 @@ def q54_suite_results(spark: SparkSession, sf_dir: str) -> DataFrame:
         monotone,
         not_null,
         referential,
+        schema_match,
         unique,
     )
 
@@ -2654,6 +2656,11 @@ def q54_suite_results(spark: SparkSession, sf_dir: str) -> DataFrame:
             referential("o_orderstatus", vocab=["O", "F"]),
             unique("o_orderkey"),
             monotone("o_orderdate", ["o_custkey"], ["o_orderkey"]),
+            schema_match({
+                "o_orderkey": "bigint", "o_custkey": "bigint",
+                "o_orderstatus": "string", "o_totalprice": "double",
+                "o_orderdate": "timestamp_ntz",
+                "o_orderpriority": "string"}),
         ),
         partition_col="o_orderpriority",
         partition_fmt="prio=%s",
@@ -2728,6 +2735,9 @@ SELECT pid, 'mono:o_orderdate', 0::BIGINT, sum(bad) = 0,
        round(sum(bad) * 1.0 / count(*), 6), 0.0,
        count(*)::BIGINT, sum(bad)::BIGINT
 FROM mono GROUP BY pid
+UNION ALL
+SELECT '__table__', 'schema:table', 0::BIGINT, TRUE, 0.0, 0.0,
+       6::BIGINT, 0::BIGINT
 """
 
 
