@@ -604,3 +604,14 @@ def test_repetition_fold_plan_matches_explode_and_is_shuffle_free(spark):
     rows_f = sorted(map(tuple, fold.collect()))
     rows_e = sorted(map(tuple, expl.collect()))
     assert rows_f == rows_e
+
+
+def test_heavy_hitters_empty_and_all_null_inputs(spark):
+    """Degenerate inputs must yield an empty summary, not an error:
+    zero rows, and a column that is entirely null (nulls are skipped)."""
+    from chronominer_spark.operators.sketches import heavy_hitters
+
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty, "item", k=4).count() == 0
+    nulls = spark.createDataFrame([(None,)] * 10, "item string")
+    assert heavy_hitters(nulls, "item", k=4).count() == 0
