@@ -294,6 +294,11 @@ class SuiteEvaluator:
                 results.append(r)
                 if with_violations:
                     violations.append(v)
+            elif c.kind == "contiguous":
+                r, v = self._contiguous(df, c)
+                results.append(r)
+                if with_violations:
+                    violations.append(v)
             elif c.kind == "drift_quantile":
                 if ref is None:
                     continue
@@ -869,6 +874,72 @@ class SuiteEvaluator:
                     .alias("detail"),
                 )
             )
+        return res, vio
+
+    # -- per-group index contiguity -------------------------------------------
+    def _contiguous(
+        self, df: DataFrame, c: Constraint
+    ) -> tuple[DataFrame, DataFrame]:
+        """Per-group contiguity of distinct ``idx_col`` values (exactly
+        ``start..start+n-1``; spec rationale at
+        :func:`~chronominer_spark.constraints.spec.contiguous`). Stage 1
+        collapses to distinct ``(_pid, over, idx)`` triples — the
+        exchange hashes the FULL triple, so a hot group's rows spread
+        across reducers and duplicate indices combine map-side (the
+        index value itself plays the salt's role; no explicit salt
+        stage needed). Stage 2 reduces each group to ``(n, lo, hi)`` —
+        algebraic, map-side-combined — and a group is bad iff
+        ``lo != start`` or ``hi != start + n - 1``. ``rows_checked``
+        counts the distinct (group, idx) pairs the verdict is over."""
+        p = c.params
+        idx_col, over, start = p["idx_col"], p["over"], p["start"]
+        dedup = df.select(
+            "_pid", over, F.col(idx_col).alias("__idx")).distinct()
+        groups = dedup.groupBy("_pid", over).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__idx").alias("__lo"),
+            F.max("__idx").alias("__hi"),
+        )
+        bad_pred = (F.col("__lo") != F.lit(start)) | (
+            F.col("__hi") != F.col("__n") + F.lit(start - 1))
+        base = groups.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("__n").alias("rows_checked"),
+            F.sum(bad_pred.cast("long")).alias("violation_count"),
+        )
+        res = (
+            base.select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                (F.col("violation_count") / F.col("n_groups"))
+                .cast("double").alias("observed"),
+                F.lit(p.get("max_rate", 0.0)).cast("double")
+                .alias("threshold"),
+                "rows_checked",
+                F.col("violation_count").cast("long")
+                .alias("violation_count"),
+            )
+            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        )
+        key_cols = list(self.suite.key_cols)
+        vio = (
+            groups.where(bad_pred)
+            .select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                *[
+                    (F.col(over) if k == over else F.lit(None)).alias(k)
+                    for k in key_cols
+                ],
+                F.lit(idx_col).alias("column"),
+                self._sval(F.col(over)).alias("value"),
+                F.format_string(
+                    "distinct=%d min=%d max=%d expected=%d..%d",
+                    F.col("__n"), F.col("__lo"), F.col("__hi"),
+                    F.lit(start), F.col("__n") + F.lit(start - 1),
+                ).alias("detail"),
+            )
+        )
         return res, vio
 
     # -- text equality vs reference snapshot ----------------------------------

@@ -182,6 +182,28 @@ def group_stats(group_col: str, max_group_rows: int | None = None,
     )
 
 
+def contiguous(idx_col: str, over: str, start: int = 1,
+               max_rate: float = 0.0) -> Constraint:
+    """Per-group index contiguity: within each ``over`` group the
+    DISTINCT ``idx_col`` values must be exactly
+    ``start .. start + n - 1`` — the transcript invariant "a
+    conversation's turns are 1..n with no gaps" (the reference loads a
+    chunk set and refuses to merge when a chunk index is missing;
+    ChronoMiner `modules/operations/merge.py` order discipline). n
+    distinct values with ``min == start`` and ``max == start + n - 1``
+    characterize the full range exactly, so one distinct pass plus an
+    algebraic (count, min, max) aggregate decides every group — no
+    sort, no window, no per-group materialized set. Duplicate indices
+    are the ``unique`` family's contract, not this one's (contiguity is
+    evaluated over distinct values so the two checks compose without
+    double-reporting)."""
+    return Constraint(
+        f"contig:{idx_col}/{over}", "contiguous",
+        {"idx_col": idx_col, "over": over, "start": int(start),
+         "max_rate": max_rate},
+    )
+
+
 def column_stats(col: str) -> Constraint:
     """Observe-only per-partition profile: null-rate, min, max, mean,
     approx-distinct (HLL). Always passes; feeds monitoring."""

@@ -2931,6 +2931,67 @@ SELECT source, doc_id, n_tok, pack_id, pack_offset FROM walk
 """
 
 
+def q57_contiguity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group index contiguity (the plan behind the engine's
+    ``contiguous`` constraint family; engine path pytest-verified in
+    test_suite_engine). Transcript form:
+    ``contiguous("turn_idx", over="conv_id")`` asserts a conversation's
+    turns are exactly 1..n with no gaps (the reference refuses to merge
+    chunk sets with missing indices: ChronoMiner
+    modules/operations/merge.py order discipline). The audited plan is
+    one distinct pass — the exchange hashes the full (group, idx) pair,
+    so a hot group spreads across reducers, skew-proof without a salt
+    stage — plus an algebraic per-group (count, min, max) aggregate; no
+    sort, no window; a group is bad iff min != 1 or max != n.
+
+    Planting harness: the synthetic lineitem's linenumbers are natively
+    random (93% of orders non-contiguous), so the query builds a
+    perfectly contiguous index first — ``turn_idx = row_number()`` over
+    each customer's orders in order-key order — then deletes turn 1 for
+    every 23rd customer (offset plant) and turn 3 for every 31st (gap
+    plant; detectable only when the customer has >= 4 orders, since
+    deleting the LAST turn shortens rather than gaps). The audit must
+    surface exactly the customers whose damage is detectable."""
+    o = t(spark, sf_dir, "orders")
+    rn = o.select("o_custkey", "o_orderkey").withColumn(
+        "turn_idx",
+        F.row_number().over(
+            W.partitionBy("o_custkey").orderBy("o_orderkey")).cast("long"))
+    cur = rn.where(~(
+        ((F.col("o_custkey") % 23 == 0) & (F.col("turn_idx") == 1))
+        | ((F.col("o_custkey") % 31 == 0) & (F.col("turn_idx") == 3))))
+    groups = (
+        cur.select("o_custkey", "turn_idx").distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.min("turn_idx").alias("min_idx"),
+             F.max("turn_idx").alias("max_idx"))
+    )
+    return groups.where(
+        (F.col("min_idx") != 1) | (F.col("max_idx") != F.col("n_turns")))
+
+
+_Q57_SQL = """
+WITH rn AS (
+  SELECT o_custkey,
+         (row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey))::BIGINT
+           AS turn_idx
+  FROM orders),
+cur AS (
+  SELECT o_custkey, turn_idx FROM rn
+  WHERE NOT ((o_custkey % 23 = 0 AND turn_idx = 1)
+          OR (o_custkey % 31 = 0 AND turn_idx = 3))),
+g AS (
+  SELECT o_custkey,
+         count(DISTINCT turn_idx)::BIGINT AS n_turns,
+         min(turn_idx) AS min_idx,
+         max(turn_idx) AS max_idx
+  FROM cur GROUP BY o_custkey)
+SELECT o_custkey, n_turns, min_idx, max_idx
+FROM g WHERE min_idx <> 1 OR max_idx <> n_turns
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -2988,6 +3049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_suite_results": q54_suite_results,
     "q55_curation_funnel": q55_curation_funnel,
     "q56_sequence_packing": q56_sequence_packing,
+    "q57_contiguity_check": q57_contiguity_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -3047,6 +3109,7 @@ ORACLES: dict[str, str] = {
     "q54_suite_results": _Q54_SQL,
     "q55_curation_funnel": _Q55_SQL,
     "q56_sequence_packing": _Q56_SQL,
+    "q57_contiguity_check": _Q57_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

@@ -628,3 +628,44 @@ def test_schema_match_and_row_count_drift(spark):
     ).evaluate(bad)
     r2 = res2.collect()[0]
     assert not r2["passed"] and r2["violation_count"] == 3
+
+
+def test_contiguous_constraint_flags_gaps_and_offsets(spark):
+    """contiguous('turn_idx', over='conv_id'): distinct indices must be
+    exactly start..start+n-1 per conversation. Gaps and offset starts
+    violate; duplicate indices alone do NOT (that is the unique
+    family's contract); start is configurable."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, contiguous
+
+    cur = spark.createDataFrame(
+        [("ok", i, 1) for i in (1, 2, 3)]
+        + [("gap", i, 1) for i in (1, 2, 4)]          # missing 3
+        + [("offset", i, 1) for i in (2, 3)]          # starts at 2
+        + [("dup", i, 1) for i in (1, 1, 2, 3)]       # dup only: passes
+        + [("below", i, 2) for i in (0, 1, 2)],       # index below start
+        "conv_id string, turn_idx int, pbucket int",
+    )
+    suite = ConstraintSuite(
+        name="contig",
+        constraints=(contiguous("turn_idx", over="conv_id"),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(cur)
+    rows = {r["partition_id"]: r for r in res.collect()}
+    assert rows["conv_bucket=1"]["violation_count"] == 2   # gap + offset
+    assert not rows["conv_bucket=1"]["passed"]
+    assert rows["conv_bucket=1"]["rows_checked"] == 11     # distinct pairs
+    assert not rows["conv_bucket=2"]["passed"]
+    bad = {v["conv_id"]: v["detail"] for v in vio.collect()}
+    assert set(bad) == {"gap", "offset", "below"}
+    assert bad["gap"] == "distinct=3 min=1 max=4 expected=1..3"
+    assert bad["offset"] == "distinct=2 min=2 max=3 expected=1..2"
+
+    # start=0 blesses the 'below' group and breaks the 1-based ones
+    res0, _ = SuiteEvaluator(
+        spark, ConstraintSuite(
+            name="contig0",
+            constraints=(contiguous("turn_idx", over="conv_id", start=0),)),
+    ).evaluate(cur.where(F.col("conv_id").isin("below", "ok")))
+    r0 = {r["partition_id"]: r for r in res0.collect()}
+    assert r0["conv_bucket=2"]["violation_count"] == 0     # below: 0..2 ok
+    assert r0["conv_bucket=1"]["violation_count"] == 1     # ok: 1..3 not 0-based
