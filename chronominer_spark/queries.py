@@ -2628,17 +2628,21 @@ FROM exact, n WHERE exact_count * 9 > n
 
 def q54_suite_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The constraint ENGINE itself under the driver's oracle gate:
-    SuiteEvaluator.evaluate() runs a six-family suite (not_null,
+    SuiteEvaluator.evaluate() runs a seven-family suite (not_null,
     in_range, inline-vocab RI, salted unique, monotone, declared-schema
-    conformance) over orders
+    conformance, per-group contiguity) over orders
     partitioned by o_orderpriority, and the oracle recomputes every
     per-partition result row — partition lineage, observed rate,
     threshold, violation count, pass verdict — in plain SQL. The
     engine families are individually pytest-verified; this row makes
-    the composed evaluate() output itself driver-checked."""
+    the composed evaluate() output itself driver-checked. The
+    contiguity family runs over raw order keys, which are nowhere
+    1..n — every group fails by construction, so this row checks the
+    family's ARITHMETIC (q57 checks its planted-damage signal)."""
     from chronominer_spark.constraints.engine import SuiteEvaluator
     from chronominer_spark.constraints.spec import (
         ConstraintSuite,
+        contiguous,
         in_range,
         monotone,
         not_null,
@@ -2661,6 +2665,7 @@ def q54_suite_results(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderstatus": "string", "o_totalprice": "double",
                 "o_orderdate": "timestamp_ntz",
                 "o_orderpriority": "string"}),
+            contiguous("o_orderkey", over="o_custkey"),
         ),
         partition_col="o_orderpriority",
         partition_fmt="prio=%s",
@@ -2689,6 +2694,13 @@ mono AS (
 uq AS (
   SELECT pid, sum(cnt - 1)::BIGINT AS excess, sum(cnt)::BIGINT AS rows_c
   FROM (SELECT pid, o_orderkey, count(*)::BIGINT AS cnt
+        FROM base GROUP BY 1, 2)
+  GROUP BY pid),
+contig AS (
+  SELECT pid, count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS rows_c,
+         sum(CASE WHEN lo <> 1 OR hi <> n THEN 1 ELSE 0 END)::BIGINT AS bad
+  FROM (SELECT pid, o_custkey, count(DISTINCT o_orderkey)::BIGINT AS n,
+               min(o_orderkey) AS lo, max(o_orderkey) AS hi
         FROM base GROUP BY 1, 2)
   GROUP BY pid)
 SELECT pid AS partition_id, 'not_null:o_custkey' AS constraint_id,
@@ -2735,6 +2747,10 @@ SELECT pid, 'mono:o_orderdate', 0::BIGINT, sum(bad) = 0,
        round(sum(bad) * 1.0 / count(*), 6), 0.0,
        count(*)::BIGINT, sum(bad)::BIGINT
 FROM mono GROUP BY pid
+UNION ALL
+SELECT pid, 'contig:o_orderkey/o_custkey', 0::BIGINT, bad = 0,
+       round(bad * 1.0 / n_groups, 6), 0.0, rows_c, bad
+FROM contig
 UNION ALL
 SELECT '__table__', 'schema:table', 0::BIGINT, TRUE, 0.0, 0.0,
        6::BIGINT, 0::BIGINT
