@@ -303,6 +303,10 @@ class SuiteEvaluator:
                 if ref is None:
                     continue
                 results.append(self._drift_quantile(df, ref, c))
+            elif c.kind == "drift_categorical":
+                if ref is None:
+                    continue
+                results.append(self._drift_categorical(df, ref, c))
             elif c.kind == "schema_match":
                 results.append(self._schema_match(df, c))
             elif c.kind == "row_count_drift":
@@ -1421,6 +1425,66 @@ class SuiteEvaluator:
                 F.lit(p.get("max_abs_diff", 0.0)).cast("double")
                 .alias("threshold"),
                 F.coalesce("rows_checked", F.lit(0)).alias("rows_checked"),
+                F.lit(0).cast("long").alias("violation_count"),
+            )
+            .withColumn(
+                "passed",
+                F.coalesce(F.col("observed") <= F.col("threshold"),
+                           F.lit(False)))
+        )
+
+    def _drift_categorical(
+        self, df: DataFrame, ref: DataFrame, c: Constraint
+    ) -> DataFrame:
+        """Category-frequency PSI per partition (spec rationale at
+        :func:`~chronominer_spark.constraints.spec.drift_categorical`).
+        Each side collapses to distinct (partition, category) count
+        rows before anything shuffles — map-side combined, so a hot
+        category costs one partial row per map split, never a hot
+        reducer. The full-outer category join and the PSI fold then run
+        over at most (partitions × union-cardinality) rows. A partition
+        missing from either side, or whose union cardinality exceeds
+        ``max_categories``, cannot be certified: null observed,
+        failed."""
+        p = c.params
+        col, smooth = p["col"], float(p["smooth"])
+        cur_c = df.groupBy("_pid", col).agg(F.count(F.lit(1)).alias("_cn"))
+        ref_c = ref.groupBy("_pid", col).agg(F.count(F.lit(1)).alias("_rn"))
+        j = (
+            cur_c.join(ref_c, ["_pid", col], "full_outer")
+            .select(
+                "_pid",
+                F.coalesce("_cn", F.lit(0)).alias("_cn"),
+                F.coalesce("_rn", F.lit(0)).alias("_rn"),
+            )
+        )
+        w = W.partitionBy("_pid")
+        j = (
+            j.withColumn("_ctot", F.sum("_cn").over(w))
+            .withColumn("_rtot", F.sum("_rn").over(w))
+            .withColumn("_k", F.count(F.lit(1)).over(w))
+        )
+        pc = (F.col("_cn") + smooth) / (F.col("_ctot") + smooth * F.col("_k"))
+        pr = (F.col("_rn") + smooth) / (F.col("_rtot") + smooth * F.col("_k"))
+        term = (pc - pr) * F.log(pc / pr)
+        agg = j.groupBy("_pid").agg(
+            F.sum(term).alias("_psi"),
+            F.first("_ctot").alias("_ctot"),
+            F.first("_rtot").alias("_rtot"),
+            F.first("_k").alias("_k"),
+        )
+        certifiable = (
+            (F.col("_ctot") > 0) & (F.col("_rtot") > 0)
+            & (F.col("_k") <= p["max_categories"])
+        )
+        return (
+            agg.select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                F.when(certifiable, F.col("_psi"))
+                .cast("double").alias("observed"),
+                F.lit(float(p["max_psi"])).cast("double").alias("threshold"),
+                F.col("_ctot").cast("long").alias("rows_checked"),
                 F.lit(0).cast("long").alias("violation_count"),
             )
             .withColumn(

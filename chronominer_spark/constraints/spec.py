@@ -309,6 +309,27 @@ def drift_quantile(
     )
 
 
+def drift_categorical(col: str, max_psi: float = 0.25, smooth: float = 0.5,
+                      max_categories: int = 10000) -> Constraint:
+    """PSI between the two snapshots' CATEGORY-frequency distributions
+    of ``col``, per partition — the vocab-column twin of ``drift_psi``:
+    role/tool mix shifting between snapshots is invisible to a binned
+    numeric histogram but is exactly what a category-frequency PSI
+    sees. Frequencies are Laplace-smoothed (``(c + smooth) /
+    (N + smooth·K)`` with K = union category count per partition) so a
+    category present on only one side contributes a finite, bounded
+    term instead of ±inf. Only distinct (partition, category) count
+    rows shuffle. A partition whose union cardinality exceeds
+    ``max_categories`` is uncertifiable (null observed, failed) —
+    category-frequency PSI is for vocab-like columns; use binned
+    ``drift_psi`` for high-cardinality ones."""
+    return Constraint(
+        f"catdrift:{col}", "drift_categorical",
+        {"col": col, "max_psi": max_psi, "smooth": smooth,
+         "max_categories": int(max_categories)},
+    )
+
+
 def drift_psi(expr: str, bins: int = 20, lo: float = 0.0, hi: float = 1000.0,
               threshold: float = 0.2, constraint_id: str | None = None) -> Constraint:
     return Constraint(

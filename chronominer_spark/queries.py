@@ -3008,6 +3008,73 @@ FROM g WHERE min_idx <> 1 OR max_idx <> n_turns
 """
 
 
+def q58_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-frequency PSI between snapshots (the plan behind the
+    engine's ``drift_categorical`` family; engine path pytest-verified
+    in test_suite_engine): role/tool-mix drift is invisible to a binned
+    numeric histogram — the category frequencies ARE the distribution.
+    Even events are the reference, odd events the current snapshot with
+    a planted remap (every 5th odd event's type becomes 'click'), and
+    per user-bucket the Laplace-smoothed PSI over event_type
+    frequencies quantifies the shift. Only distinct (bucket, category)
+    count rows shuffle; the PSI fold runs over buckets x categories
+    rows — tiny at any input scale."""
+    e = t(spark, sf_dir, "events")
+    ref = e.where(F.col("event_id") % 2 == 0)
+    cur = e.where(F.col("event_id") % 2 == 1).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, F.lit("click"))
+        .otherwise(F.col("event_type")))
+    pg = (F.col("user_id") % 4).cast("long").alias("pgroup")
+    cur_c = cur.groupBy(pg, "event_type").agg(F.count(F.lit(1)).alias("cn"))
+    ref_c = ref.groupBy(pg, "event_type").agg(F.count(F.lit(1)).alias("rn"))
+    j = cur_c.join(ref_c, ["pgroup", "event_type"], "full_outer").select(
+        "pgroup",
+        F.coalesce("cn", F.lit(0)).alias("cn"),
+        F.coalesce("rn", F.lit(0)).alias("rn"))
+    w = W.partitionBy("pgroup")
+    s = 0.5
+    j = (j.withColumn("ct", F.sum("cn").over(w))
+          .withColumn("rt", F.sum("rn").over(w))
+          .withColumn("k", F.count(F.lit(1)).over(w)))
+    pc = (F.col("cn") + s) / (F.col("ct") + s * F.col("k"))
+    pr = (F.col("rn") + s) / (F.col("rt") + s * F.col("k"))
+    term = (pc - pr) * F.log(pc / pr)
+    return j.groupBy("pgroup").agg(
+        F.max("k").cast("long").alias("n_categories"),
+        F.round(F.sum(term), 6).alias("psi"))
+
+
+_Q58_SQL = """
+WITH ref AS (
+  SELECT user_id % 4 AS pgroup, event_type FROM events WHERE event_id % 2 = 0),
+cur AS (
+  SELECT user_id % 4 AS pgroup,
+         CASE WHEN event_id % 5 = 0 THEN 'click' ELSE event_type END
+           AS event_type
+  FROM events WHERE event_id % 2 = 1),
+cc AS (SELECT pgroup, event_type, count(*)::BIGINT AS cn FROM cur GROUP BY 1, 2),
+rc AS (SELECT pgroup, event_type, count(*)::BIGINT AS rn FROM ref GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(cc.pgroup, rc.pgroup) AS pgroup,
+         coalesce(cn, 0) AS cn, coalesce(rn, 0) AS rn
+  FROM cc FULL OUTER JOIN rc
+    ON cc.pgroup = rc.pgroup AND cc.event_type = rc.event_type),
+t AS (
+  SELECT pgroup, cn, rn,
+         sum(cn) OVER (PARTITION BY pgroup) AS ct,
+         sum(rn) OVER (PARTITION BY pgroup) AS rt,
+         count(*) OVER (PARTITION BY pgroup) AS k
+  FROM j)
+SELECT pgroup,
+       max(k)::BIGINT AS n_categories,
+       round(sum(((cn + 0.5) / (ct + 0.5 * k) - (rn + 0.5) / (rt + 0.5 * k))
+                 * ln(((cn + 0.5) / (ct + 0.5 * k))
+                      / ((rn + 0.5) / (rt + 0.5 * k)))), 6) AS psi
+FROM t GROUP BY pgroup
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3066,6 +3133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_curation_funnel": q55_curation_funnel,
     "q56_sequence_packing": q56_sequence_packing,
     "q57_contiguity_check": q57_contiguity_check,
+    "q58_categorical_drift": q58_categorical_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -3126,6 +3194,7 @@ ORACLES: dict[str, str] = {
     "q55_curation_funnel": _Q55_SQL,
     "q56_sequence_packing": _Q56_SQL,
     "q57_contiguity_check": _Q57_SQL,
+    "q58_categorical_drift": _Q58_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

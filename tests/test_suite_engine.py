@@ -669,3 +669,49 @@ def test_contiguous_constraint_flags_gaps_and_offsets(spark):
     r0 = {r["partition_id"]: r for r in res0.collect()}
     assert r0["conv_bucket=2"]["violation_count"] == 0     # below: 0..2 ok
     assert r0["conv_bucket=1"]["violation_count"] == 1     # ok: 1..3 not 0-based
+
+
+def test_drift_categorical_flags_mix_shift(spark):
+    """drift_categorical('role'): identical snapshots give PSI ~ 0; a
+    planted role-mix shift (a third of assistant turns relabeled tool)
+    exceeds the threshold; a partition absent from the reference and a
+    partition over the cardinality cap are both uncertifiable (null
+    observed, failed)."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, drift_categorical)
+
+    roles = ["user", "assistant", "tool"]
+    ref = spark.createDataFrame(
+        [("c%04d" % i, 0, roles[i % 3], 1) for i in range(600)],
+        "conv_id string, turn_idx int, role string, pbucket int")
+    suite = ConstraintSuite(
+        name="cd", constraints=(drift_categorical("role", max_psi=0.05),))
+    ev = SuiteEvaluator(spark, suite)
+
+    res0 = ev.evaluate(ref, ref)[0].collect()[0]
+    assert res0["passed"] and abs(res0["observed"]) < 1e-6
+    assert res0["rows_checked"] == 600
+
+    # planted shift: every assistant turn from an even conv becomes tool
+    shifted = ref.withColumn(
+        "role",
+        F.when((F.col("role") == "assistant")
+               & (F.substring("conv_id", 2, 4).cast("int") % 2 == 0),
+               F.lit("tool")).otherwise(F.col("role")))
+    res1 = ev.evaluate(shifted, ref)[0].collect()[0]
+    assert res1["observed"] > 0.05 and not res1["passed"]
+
+    # cur-only partition: uncertifiable
+    cur2 = ref.withColumn(
+        "pbucket", F.when(F.col("conv_id") == "c0000", 9).otherwise(1))
+    by_pid = {x["partition_id"]: x for x in ev.evaluate(cur2, ref)[0].collect()}
+    assert by_pid["conv_bucket=9"]["observed"] is None
+    assert not by_pid["conv_bucket=9"]["passed"]
+
+    # cardinality cap: 3 categories > max_categories=2 -> uncertifiable
+    capped = ConstraintSuite(
+        name="cd2",
+        constraints=(drift_categorical("role", max_categories=2),))
+    resc = SuiteEvaluator(spark, capped).evaluate(ref, ref)[0].collect()[0]
+    assert resc["observed"] is None and not resc["passed"]
