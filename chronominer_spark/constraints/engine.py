@@ -307,6 +307,8 @@ class SuiteEvaluator:
                 if ref is None:
                     continue
                 results.append(self._drift_categorical(df, ref, c))
+            elif c.kind == "freshness":
+                results.append(self._freshness(df, c))
             elif c.kind == "schema_match":
                 results.append(self._schema_match(df, c))
             elif c.kind == "row_count_drift":
@@ -1425,6 +1427,35 @@ class SuiteEvaluator:
                 F.lit(p.get("max_abs_diff", 0.0)).cast("double")
                 .alias("threshold"),
                 F.coalesce("rows_checked", F.lit(0)).alias("rows_checked"),
+                F.lit(0).cast("long").alias("violation_count"),
+            )
+            .withColumn(
+                "passed",
+                F.coalesce(F.col("observed") <= F.col("threshold"),
+                           F.lit(False)))
+        )
+
+    def _freshness(self, df: DataFrame, c: Constraint) -> DataFrame:
+        """Partition age vs an explicit ``as_of`` instant (spec
+        rationale at :func:`~chronominer_spark.constraints.spec.
+        freshness`). One max() per partition — map-side combined, a
+        single long per group crosses the exchange."""
+        p = c.params
+        as_of = F.to_timestamp(F.lit(p["as_of"]))
+        agg = df.groupBy("_pid").agg(
+            F.max(F.col(p["ts_col"]).cast("timestamp")).alias("__newest"),
+            F.count(F.lit(1)).alias("rows_checked"),
+        )
+        age = (as_of.cast("double")
+               - F.col("__newest").cast("double"))
+        return (
+            agg.select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                age.cast("double").alias("observed"),
+                F.lit(p["max_age_seconds"]).cast("double")
+                .alias("threshold"),
+                "rows_checked",
                 F.lit(0).cast("long").alias("violation_count"),
             )
             .withColumn(

@@ -309,6 +309,24 @@ def drift_quantile(
     )
 
 
+def freshness(ts_col: str, max_age_seconds: float,
+              as_of: str) -> Constraint:
+    """Timeliness: each partition's newest ``ts_col`` must be within
+    ``max_age_seconds`` of ``as_of`` (an ISO timestamp string — passed
+    explicitly, never ``now()``, so the check is deterministic,
+    resumable, and replayable; the runner caller stamps it once per
+    run). A stale partition is a pipeline-lag signal the row-level
+    families can't see: every row can be individually valid while the
+    feed silently stopped. One max() aggregate per partition; observed
+    is the partition's age in seconds; partitions with only-null
+    timestamps are uncertifiable (null observed, failed)."""
+    return Constraint(
+        f"fresh:{ts_col}", "freshness",
+        {"ts_col": ts_col, "max_age_seconds": float(max_age_seconds),
+         "as_of": str(as_of)},
+    )
+
+
 def drift_categorical(col: str, max_psi: float = 0.25, smooth: float = 0.5,
                       max_categories: int = 10000) -> Constraint:
     """PSI between the two snapshots' CATEGORY-frequency distributions

@@ -3075,6 +3075,53 @@ FROM t GROUP BY pgroup
 """
 
 
+def q59_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeliness audit (the plan behind the engine's ``freshness``
+    family; engine path pytest-verified in test_suite_engine): per
+    event_type, the newest event's age against an EXPLICIT as_of
+    instant — never now(), so the audit is deterministic and
+    replayable. The plant simulates two feeds stalling: all 'error' and
+    'signup' events after Jan 28 are dropped, so against
+    as_of=Jan 31 with a 1-day budget those two types read stale
+    (~3 days) while click/purchase/view stay fresh. Ages are integer
+    MICROSECONDS (unix_micros / epoch_us) — exact on both engines, no
+    float-epoch parity risk. One max() per group; a single long crosses
+    the exchange per type."""
+    e = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-28 00:00:00").cast("timestamp")
+    cur = e.where(~(F.col("event_type").isin("error", "signup")
+                    & (F.col("ts").cast("timestamp") >= cutoff)))
+    as_of_us = F.unix_micros(F.to_timestamp(F.lit("2024-01-31 00:00:00")))
+    budget_us = F.lit(86400 * 1000000).cast("long")
+    agg = cur.groupBy("event_type").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        .alias("newest_us"),
+        F.count(F.lit(1)).alias("n_events"))
+    age = (as_of_us - F.col("newest_us")).cast("long")
+    return agg.select(
+        "event_type", "n_events",
+        age.alias("age_us"),
+        (age <= budget_us).alias("fresh"))
+
+
+_Q59_SQL = """
+WITH cur AS (
+  SELECT * FROM events
+  WHERE NOT (event_type IN ('error', 'signup')
+             AND ts >= TIMESTAMP '2024-01-28 00:00:00')),
+a AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         max(epoch_us(ts))::BIGINT AS newest_us
+  FROM cur GROUP BY 1)
+SELECT event_type, n_events,
+       (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - newest_us)::BIGINT
+         AS age_us,
+       (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - newest_us)
+         <= 86400000000 AS fresh
+FROM a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3134,6 +3181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_sequence_packing": q56_sequence_packing,
     "q57_contiguity_check": q57_contiguity_check,
     "q58_categorical_drift": q58_categorical_drift,
+    "q59_freshness_audit": q59_freshness_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -3195,6 +3243,7 @@ ORACLES: dict[str, str] = {
     "q56_sequence_packing": _Q56_SQL,
     "q57_contiguity_check": _Q57_SQL,
     "q58_categorical_drift": _Q58_SQL,
+    "q59_freshness_audit": _Q59_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

@@ -715,3 +715,35 @@ def test_drift_categorical_flags_mix_shift(spark):
         constraints=(drift_categorical("role", max_categories=2),))
     resc = SuiteEvaluator(spark, capped).evaluate(ref, ref)[0].collect()[0]
     assert resc["observed"] is None and not resc["passed"]
+
+
+def test_freshness_flags_stale_partitions(spark):
+    """freshness('ts', max_age, as_of): a partition whose newest turn is
+    older than max_age relative to the explicit as_of instant fails with
+    its age as observed; fresh partitions pass; an all-null-ts partition
+    is uncertifiable (null observed, failed)."""
+    from datetime import datetime
+
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, freshness
+
+    fresh = datetime(2024, 3, 10, 11, 30, 0)   # 30 min before as_of
+    stale = datetime(2024, 3, 8, 12, 0, 0)     # 2 days before as_of
+    cur = spark.createDataFrame(
+        [("c1", 0, stale, 1), ("c1", 1, fresh, 1),
+         ("c2", 0, stale, 2),
+         ("c3", 0, None, 3)],
+        "conv_id string, turn_idx int, ts timestamp, pbucket int")
+    suite = ConstraintSuite(
+        name="fresh",
+        constraints=(freshness("ts", max_age_seconds=3600.0,
+                               as_of="2024-03-10 12:00:00"),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(cur)
+    rows = {r["partition_id"]: r for r in res.collect()}
+    assert rows["conv_bucket=1"]["passed"]
+    assert rows["conv_bucket=1"]["observed"] == 1800.0
+    assert not rows["conv_bucket=2"]["passed"]
+    assert rows["conv_bucket=2"]["observed"] == 2 * 86400.0
+    assert not rows["conv_bucket=3"]["passed"]
+    assert rows["conv_bucket=3"]["observed"] is None
+    assert vio.count() == 0  # partition-level family: no row violations
