@@ -299,6 +299,11 @@ class SuiteEvaluator:
                 results.append(r)
                 if with_violations:
                     violations.append(v)
+            elif c.kind == "conversation_shape":
+                r, v = self._conversation_shape(df, c)
+                results.append(r)
+                if with_violations:
+                    violations.append(v)
             elif c.kind == "drift_quantile":
                 if ref is None:
                     continue
@@ -945,6 +950,100 @@ class SuiteEvaluator:
                     F.lit(start), F.col("__n") + F.lit(start - 1),
                 ).alias("detail"),
             )
+        )
+        return res, vio
+
+    # -- conversation role-sequence shape --------------------------------------
+    def _conversation_shape(
+        self, df: DataFrame, c: Constraint
+    ) -> tuple[DataFrame, DataFrame]:
+        """Role-sequence validity per conversation (spec rationale at
+        :func:`~chronominer_spark.constraints.spec.conversation_shape`).
+        ONE window — partitioned by ``(_pid, over)``, ordered by the
+        constraint's order keys with the role as total-order tiebreaker
+        — yields both ``lag(role)`` (transition source / first-turn
+        marker) and ``lead(role)`` (last-turn marker) from a single
+        exchange + sort; every rule then evaluates as a codegen'd
+        expression over that frame. A turn breaking several rules emits
+        ONE violation row whose detail lists all of them."""
+        p = c.params
+        role, over = p["role_col"], p["over"]
+        first_roles = p.get("first_roles")
+        last_roles = p.get("last_roles")
+        allowed = p.get("allowed_transitions")
+
+        # lag/lead of a STRUCT, not the bare role: the struct is null
+        # exactly when no neighbor row exists, even if the neighbor's
+        # role value is null — a mid-conversation null role must not
+        # make its successor look like a conversation opener
+        w = W.partitionBy("_pid", over).orderBy(
+            *[F.col(x).asc() for x in p["order_by"]], F.col(role).asc())
+        neighbor = F.struct(F.col(role).alias("r"))
+        d = (
+            df.withColumn("__prev", F.lag(neighbor).over(w))
+              .withColumn("__next", F.lead(neighbor).over(w))
+        )
+        # null role never .isin(...)-matches (null -> coalesce False), so
+        # a null where a vocabulary is demanded is itself a violation
+        checks: list[F.Column] = []
+        if first_roles is not None:
+            checks.append(F.when(
+                F.col("__prev").isNull()
+                & ~F.coalesce(F.col(role).isin(list(first_roles)),
+                              F.lit(False)),
+                F.format_string("first role %s not in %s",
+                                self._sval(F.col(role)),
+                                F.lit("|".join(first_roles)))))
+        if last_roles is not None:
+            checks.append(F.when(
+                F.col("__next").isNull()
+                & ~F.coalesce(F.col(role).isin(list(last_roles)),
+                              F.lit(False)),
+                F.format_string("last role %s not in %s",
+                                self._sval(F.col(role)),
+                                F.lit("|".join(last_roles)))))
+        if allowed is not None:
+            # concat_ws skips a null side, so 'user>null' / 'null>user'
+            # can never masquerade as an allowed edge
+            edge = F.concat_ws(">", F.col("__prev.r"), F.col(role))
+            checks.append(F.when(
+                F.col("__prev").isNotNull() & ~edge.isin(list(allowed)),
+                F.format_string("transition %s not allowed", edge)))
+        if not checks:
+            raise ValueError(
+                "conversation_shape needs at least one of first_roles / "
+                "last_roles / allowed_transitions")
+        d = d.withColumn("__fails", F.array_compact(F.array(*checks)))
+        bad = d.where(F.size("__fails") > 0)
+
+        totals = df.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("rows_checked"))
+        bad_counts = bad.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("violation_count"))
+        res = (
+            totals.join(bad_counts, "_pid", "left")
+            .withColumn("violation_count",
+                        F.coalesce("violation_count", F.lit(0)))
+            .select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                (F.col("violation_count") / F.col("rows_checked"))
+                .cast("double").alias("observed"),
+                F.lit(p.get("max_rate", 0.0)).cast("double")
+                .alias("threshold"),
+                "rows_checked",
+                F.col("violation_count").cast("long")
+                .alias("violation_count"),
+            )
+            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        )
+        vio = bad.select(
+            F.col("_pid").alias("partition_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            *self.suite.key_cols,
+            F.lit(role).alias("column"),
+            self._sval(F.col(role)).alias("value"),
+            F.array_join("__fails", "; ").alias("detail"),
         )
         return res, vio
 

@@ -204,6 +204,55 @@ def contiguous(idx_col: str, over: str, start: int = 1,
     )
 
 
+def conversation_shape(
+    role_col: str = "role",
+    over: str = "conv_id",
+    order_by: list[str] | None = None,
+    first_roles: list[str] | None = None,
+    last_roles: list[str] | None = None,
+    allowed_transitions: list[tuple[str, str]] | None = None,
+    max_rate: float = 0.0,
+) -> Constraint:
+    """Structural validity of each conversation's role SEQUENCE — the
+    transcript invariant none of the value-level families can see: a
+    well-formed dialogue opens with a ``first_roles`` turn (e.g.
+    ``system``), closes with a ``last_roles`` turn, and every adjacent
+    turn pair follows an ``allowed_transitions`` edge (e.g. ``user``
+    never speaks twice in a row). The reference enforces the analogous
+    discipline on its chunk streams — responses must interleave with
+    requests in order before a merge is accepted (ChronoMiner
+    ``modules/operations/merge.py`` order discipline;
+    ``modules/llm/batch.py`` request/response pairing).
+
+    Each check is optional (``None`` = don't check). Violations are the
+    offending TURNS (first / last / transition target) with the broken
+    rule in the detail, so lineage points at the exact row to fix.
+
+    Plan: one window partitioned by ``(partition, over)`` and ordered
+    by ``order_by`` with ``role_col`` as the total-order tiebreaker
+    (the same determinism discipline as :func:`monotone` — tied order
+    keys can never make the verdict partitioning-dependent); ``lag``
+    gives the predecessor role, ``lead`` flags the final turn — both
+    share the single sort, and per-group window state is one row, so a
+    hot conversation streams rather than accumulates."""
+    return Constraint(
+        f"shape:{role_col}/{over}", "conversation_shape",
+        {"role_col": role_col, "over": over,
+         "order_by": list(order_by) if order_by is not None
+         else ["turn_idx", "ts"],
+         "first_roles": list(first_roles) if first_roles is not None
+         else None,
+         "last_roles": list(last_roles) if last_roles is not None
+         else None,
+         # stored as "prev>cur" strings: JSON-stable for the suite hash
+         # and directly usable as an isin literal list in the plan
+         "allowed_transitions": (
+             [f"{a}>{b}" for a, b in allowed_transitions]
+             if allowed_transitions is not None else None),
+         "max_rate": max_rate},
+    )
+
+
 def column_stats(col: str) -> Constraint:
     """Observe-only per-partition profile: null-rate, min, max, mean,
     approx-distinct (HLL). Always passes; feeds monitoring."""

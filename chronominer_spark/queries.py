@@ -3122,6 +3122,121 @@ FROM a
 """
 
 
+def q60_conversation_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-sequence (dialogue-grammar) audit — the plan behind the
+    engine's ``conversation_shape`` family (engine path pytest-verified
+    in test_suite_engine): a transcript must open with ``system``,
+    close with ``user``/``assistant``, and every adjacent turn pair
+    must follow an allowed edge (``system>user``, ``user>assistant``,
+    ``assistant>user``). The reference enforces the analogous
+    request/response interleave discipline before accepting a merge
+    (ChronoMiner modules/operations/merge.py; modules/llm/batch.py
+    pairing).
+
+    Planting harness: events become transcripts (conv = user_id, turns
+    ordered by (ts, event_id)) with perfectly alternating roles, then
+    three deterministic plants: every 29th conv opens with ``user``
+    (first-role damage, which also breaks the turn-2 edge), every 17th
+    conv's turn 2 becomes ``assistant`` (two broken edges), every 41st
+    conv's LAST turn becomes ``system`` (last-role damage + a broken
+    closing edge). Output: per damaged conversation, the violation
+    breakdown and the earliest offending turn.
+
+    Scale posture: every window shares ONE exchange on the conversation
+    key; first/last detection rides ``lag``/``lead`` of a one-field
+    struct (null exactly when no neighbor row exists), so per-group
+    window state is a single row — a hot conversation streams, never
+    accumulates. The final per-conversation rollup is algebraic and
+    map-side combined."""
+    e = t(spark, sf_dir, "events")
+    w0 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w1 = W.partitionBy("user_id").orderBy("turn_idx")
+    base = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("turn_idx", F.row_number().over(w0).cast("long"))
+    )
+    base_role = (
+        F.when(F.col("turn_idx") == 1, F.lit("system"))
+        .when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    base = base.withColumn(
+        "is_last", F.lead(F.struct(F.lit(1).alias("m"))).over(w1).isNull())
+    role = (
+        F.when((F.col("user_id") % 29 == 0) & (F.col("turn_idx") == 1),
+               F.lit("user"))
+        .when((F.col("user_id") % 17 == 0) & (F.col("turn_idx") == 2),
+              F.lit("assistant"))
+        .when((F.col("user_id") % 41 == 0) & F.col("is_last"),
+              F.lit("system"))
+        .otherwise(base_role)
+    )
+    d = base.withColumn("role", role).withColumn(
+        "prev_role", F.lag("role").over(w1))
+    edge = F.concat_ws(">", F.col("prev_role"), F.col("role"))
+    first_bad = (F.col("turn_idx") == 1) & (F.col("role") != "system")
+    last_bad = F.col("is_last") & ~F.col("role").isin("user", "assistant")
+    trans_bad = (F.col("turn_idx") > 1) & ~edge.isin(
+        "system>user", "user>assistant", "assistant>user")
+    any_bad = first_bad | last_bad | trans_bad
+    out = (
+        d.groupBy(F.col("user_id").alias("conv_id"))
+        .agg(
+            F.max("turn_idx").alias("n_turns"),
+            F.max(first_bad.cast("long")).alias("first_bad"),
+            F.max(last_bad.cast("long")).alias("last_bad"),
+            F.sum(trans_bad.cast("long")).alias("bad_transitions"),
+            F.min(F.when(any_bad, F.col("turn_idx"))).alias("first_bad_turn"),
+        )
+        .where(F.col("first_bad_turn").isNotNull())
+    )
+    return out
+
+
+_Q60_SQL = """
+WITH base AS (
+  SELECT user_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           ::BIGINT AS turn_idx,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+planted AS (
+  SELECT user_id, turn_idx, (turn_idx = n) AS is_last,
+         CASE
+           WHEN user_id % 29 = 0 AND turn_idx = 1 THEN 'user'
+           WHEN user_id % 17 = 0 AND turn_idx = 2 THEN 'assistant'
+           WHEN user_id % 41 = 0 AND turn_idx = n THEN 'system'
+           WHEN turn_idx = 1 THEN 'system'
+           WHEN turn_idx % 2 = 0 THEN 'user'
+           ELSE 'assistant'
+         END AS role
+  FROM base),
+seq AS (
+  SELECT user_id, turn_idx, is_last, role,
+         lag(role) OVER (PARTITION BY user_id ORDER BY turn_idx)
+           AS prev_role
+  FROM planted),
+flags AS (
+  SELECT user_id, turn_idx,
+         (turn_idx = 1 AND role <> 'system') AS first_bad,
+         (is_last AND role NOT IN ('user', 'assistant')) AS last_bad,
+         (turn_idx > 1 AND prev_role || '>' || role NOT IN
+            ('system>user', 'user>assistant', 'assistant>user')) AS trans_bad
+  FROM seq)
+SELECT user_id AS conv_id,
+       max(turn_idx) AS n_turns,
+       max(CASE WHEN first_bad THEN 1 ELSE 0 END)::BIGINT AS first_bad,
+       max(CASE WHEN last_bad THEN 1 ELSE 0 END)::BIGINT AS last_bad,
+       sum(CASE WHEN trans_bad THEN 1 ELSE 0 END)::BIGINT AS bad_transitions,
+       min(CASE WHEN first_bad OR last_bad OR trans_bad THEN turn_idx END)
+         AS first_bad_turn
+FROM flags
+GROUP BY user_id
+HAVING min(CASE WHEN first_bad OR last_bad OR trans_bad THEN turn_idx END)
+       IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3182,6 +3297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_contiguity_check": q57_contiguity_check,
     "q58_categorical_drift": q58_categorical_drift,
     "q59_freshness_audit": q59_freshness_audit,
+    "q60_conversation_shape": q60_conversation_shape,
 }
 
 ORACLES: dict[str, str] = {
@@ -3244,6 +3360,7 @@ ORACLES: dict[str, str] = {
     "q57_contiguity_check": _Q57_SQL,
     "q58_categorical_drift": _Q58_SQL,
     "q59_freshness_audit": _Q59_SQL,
+    "q60_conversation_shape": _Q60_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

@@ -630,6 +630,84 @@ def test_schema_match_and_row_count_drift(spark):
     assert not r2["passed"] and r2["violation_count"] == 3
 
 
+def test_conversation_shape_flags_bad_role_sequences(spark):
+    """conversation_shape: first role, last role, and every adjacent
+    transition must satisfy the declared dialogue grammar; a turn
+    breaking several rules yields ONE violation row listing all of
+    them; a mid-conversation null role is a transition violation and
+    must NOT make its successor look like a conversation opener."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, conversation_shape)
+
+    def conv(cid, roles):
+        return [(cid, i + 1, r, 1) for i, r in enumerate(roles)]
+
+    cur = spark.createDataFrame(
+        conv("good", ["system", "user", "assistant", "user", "assistant"])
+        + conv("firstbad", ["user", "assistant"])
+        + conv("lastbad", ["system", "user"])
+        + conv("doubletalk", ["system", "user", "user", "assistant"])
+        + conv("lonely", ["user"])                      # first AND last bad
+        + conv("nullrole", ["system", None, "user", "assistant"]),
+        "conv_id string, turn_idx int, role string, pbucket int",
+    )
+    suite = ConstraintSuite(
+        name="shape",
+        constraints=(conversation_shape(
+            role_col="role", over="conv_id", order_by=["turn_idx"],
+            first_roles=["system"], last_roles=["assistant"],
+            allowed_transitions=[("system", "user"), ("user", "assistant"),
+                                 ("assistant", "user")]),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(cur)
+    r = res.collect()[0]
+    assert not r["passed"]
+    assert r["rows_checked"] == 18
+    bad = {(v["conv_id"], v["turn_idx"]): v["detail"] for v in vio.collect()}
+    assert r["violation_count"] == len(bad) == 6
+    assert bad[("firstbad", 1)] == "first role user not in system"
+    assert bad[("lastbad", 2)] == "last role user not in assistant"
+    assert bad[("doubletalk", 3)] == "transition user>user not allowed"
+    # one row, two broken rules, one violation with both in the detail
+    assert bad[("lonely", 1)] == ("first role user not in system; "
+                                  "last role user not in assistant")
+    # null role: 'system>' edge is not allowed; its successor is judged
+    # as a TRANSITION (edge collapses to '>user' -> 'user'), not as a
+    # conversation opener
+    assert bad[("nullrole", 2)] == "transition system not allowed"
+    assert bad[("nullrole", 3)] == "transition user not allowed"
+
+    # an all-valid snapshot passes with zero violations
+    res_ok, vio_ok = SuiteEvaluator(spark, ConstraintSuite(
+        name="shape_ok",
+        constraints=(conversation_shape(
+            role_col="role", over="conv_id", order_by=["turn_idx"],
+            first_roles=["system"], last_roles=["assistant"],
+            allowed_transitions=[("system", "user"), ("user", "assistant"),
+                                 ("assistant", "user")]),),
+    )).evaluate(cur.where(F.col("conv_id") == "good"))
+    assert res_ok.collect()[0]["passed"] and vio_ok.count() == 0
+
+    # checks are independently optional: transitions-only blesses
+    # firstbad/lastbad/lonely entirely
+    res_t, vio_t = SuiteEvaluator(spark, ConstraintSuite(
+        name="shape_t",
+        constraints=(conversation_shape(
+            role_col="role", over="conv_id", order_by=["turn_idx"],
+            allowed_transitions=[("system", "user"), ("user", "assistant"),
+                                 ("assistant", "user")]),),
+    )).evaluate(cur.where(
+        F.col("conv_id").isin("firstbad", "lastbad", "lonely")))
+    assert res_t.collect()[0]["passed"] and vio_t.count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        SuiteEvaluator(spark, ConstraintSuite(
+            name="shape_none",
+            constraints=(conversation_shape(order_by=["turn_idx"]),),
+        )).evaluate(cur)
+
+
 def test_contiguous_constraint_flags_gaps_and_offsets(spark):
     """contiguous('turn_idx', over='conv_id'): distinct indices must be
     exactly start..start+n-1 per conversation. Gaps and offset starts
