@@ -115,3 +115,55 @@ def test_round4_families_invariant_under_repartitioning(spark, transcripts,
 
     assert vio_a.exceptAll(vio_b).count() == 0
     assert vio_b.exceptAll(vio_a).count() == 0
+
+
+def test_conversation_shape_invariant_under_tied_order_keys(spark):
+    """conversation_shape's lag/lead window orders by (order_by, role):
+    with duplicate (conv, turn_idx) keys carrying DIFFERENT roles, the
+    role tiebreaker makes the sequence a total order, so results and
+    per-turn violation rows are identical under any partitioning /
+    shuffle width — the same lag-tie hazard the monotone family fixed
+    (without the tiebreaker, which neighbor `lag` sees is
+    partition-order-dependent)."""
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, conversation_shape)
+
+    rows = []
+    for c in range(40):
+        cid = f"t{c:03d}"
+        rows += [(cid, 1, "system", c % 4), (cid, 2, "user", c % 4),
+                 (cid, 3, "assistant", c % 4)]
+        # tied key: two turn-3 rows, roles differ -> role asc decides
+        # adjacency ('assistant' < 'tool', so the sequence ends
+        # ..., assistant, tool): the tool row breaks the closing edge
+        # AND the last-role rule, but WHICH row is flagged (and that it
+        # is flagged once) must not depend on partitioning
+        if c % 5 == 0:
+            rows.append((cid, 3, "tool", c % 4))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, pbucket int")
+    suite = ConstraintSuite(
+        name="shape_ties",
+        constraints=(conversation_shape(
+            role_col="role", over="conv_id", order_by=["turn_idx"],
+            first_roles=["system"], last_roles=["user", "assistant"],
+            allowed_transitions=[("system", "user"), ("user", "assistant"),
+                                 ("assistant", "user")]),))
+
+    def run(d, shuffle):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+        try:
+            res, vio = SuiteEvaluator(spark, suite).evaluate(d, snapshot_id=5)
+            return res.cache(), vio.cache()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    res_a, vio_a = run(df, 4)
+    res_b, vio_b = run(df.repartition(64), 32)
+    fa = res_a.select(*STABLE_COLS, F.round("observed", 9).alias("obs"))
+    fb = res_b.select(*STABLE_COLS, F.round("observed", 9).alias("obs"))
+    assert fa.exceptAll(fb).count() == 0 and fb.exceptAll(fa).count() == 0
+    assert vio_a.count() > 0
+    assert vio_a.exceptAll(vio_b).count() == 0
+    assert vio_b.exceptAll(vio_a).count() == 0
