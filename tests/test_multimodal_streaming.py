@@ -157,6 +157,77 @@ def test_available_now_repass_picks_up_new_files(spark, tmp_path, transcripts):
     assert out2.count() > out1.count()
 
 
+def test_streaming_shape_matches_batch_family(spark, tmp_path):
+    """Streaming twin of conversation_shape: turns split into 3
+    micro-batches BY TURN RANGE (each conversation spans all three, so
+    two adjacency edges per conversation cross batch boundaries and
+    must be validated from the state carry). The incremental violation
+    rows must equal the batch family's (first_roles + transitions; a
+    live stream has no end-of-conversation signal, so last-role
+    verdicts stay with the batch family)."""
+    import os
+    import time
+
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, conversation_shape)
+    from chronominer_spark.streaming.stateful import conversation_shape_stream
+
+    def role_for(c, i):
+        base = "system" if i == 1 else ("user" if i % 2 == 0 else "assistant")
+        if c % 7 == 0 and i == 1:
+            return "user"            # bad opener (+ bad t1>t2 edge)
+        if c % 5 == 0 and i == 4:
+            return "assistant"       # bad edge crossing batches 1->2
+        if c % 11 == 0 and i == 6:
+            return "assistant"       # bad edge crossing batches 2->3
+        return base
+
+    rows = [(f"s{c:03d}", i, role_for(c, i), c % 4)
+            for c in range(60) for i in range(1, 8)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, pbucket int")
+
+    src = str(tmp_path / "turns_stream")
+    for bi, (lo, hi) in enumerate([(1, 3), (4, 5), (6, 7)]):
+        (df.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") <= hi))
+         .coalesce(1).write.mode("append").parquet(src))
+        # force strictly increasing mtimes: FileStreamSource must take
+        # the turn ranges in order for cross-batch adjacency to be real
+        now = time.time() + bi
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                p = os.path.join(src, f)
+                if os.path.getmtime(p) > now - 1:
+                    os.utime(p, (now, now))
+
+    edges = [("system", "user"), ("user", "assistant"), ("assistant", "user")]
+    q = conversation_shape_stream(
+        spark, src, df.schema, first_roles=["system"],
+        allowed_transitions=edges, query_name="shape_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, role, detail FROM shape_stream_test")
+
+    suite = ConstraintSuite(
+        name="shape_batch",
+        constraints=(conversation_shape(
+            role_col="role", over="conv_id", order_by=["turn_idx"],
+            first_roles=["system"], allowed_transitions=edges),))
+    _, vio = SuiteEvaluator(spark, suite).evaluate(df)
+    want = vio.select("conv_id", F.col("turn_idx").cast("long"),
+                      F.col("value").alias("role"), "detail")
+
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the cross-batch plants are present: a turn-4 and a turn-6 edge
+    # verdict can only come from the state carry
+    flagged_turns = {r["turn_idx"] for r in got.collect()}
+    assert {4, 6} <= flagged_turns
+
+
 def test_incremental_exact_dedup_matches_batch(spark, tmp_path):
     """Streaming twin of exact_dedup: the same corpus split into 3
     micro-batches and folded through the content-key state table must
