@@ -3237,6 +3237,151 @@ HAVING min(CASE WHEN first_bad OR last_bad OR trans_bad THEN turn_idx END)
 """
 
 
+def q61_transcript_suite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversation_shape family's ENGINE path under the driver
+    oracle (q60 checks the plan mirror; this row checks
+    SuiteEvaluator.evaluate() itself), composed with unique /
+    contiguity / not_null over ONE multi-damaged transcript snapshot —
+    the realistic shape of a validation run, where a single act of
+    damage surfaces as different symptoms in different families:
+    deleting turn 1 (every 23rd conv) is a contiguity OFFSET and a
+    first-role violation; deleting turn 3 (every 31st) is a contiguity
+    GAP and a broken user>user edge at turn 4; duplicating turn 4
+    (every 19th) is a uniqueness excess and a broken tied-edge
+    user>user; re-roling turn 2 to assistant (every 17th) breaks two
+    adjacent edges. The oracle recomputes every per-partition result
+    row — lineage, observed rate, threshold, counts, verdict — in
+    plain SQL over the identical planted frame."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite,
+        contiguous,
+        conversation_shape,
+        not_null,
+        unique,
+    )
+
+    e = t(spark, sf_dir, "events")
+    w0 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select("user_id", "ts", "event_id").withColumn(
+        "turn_idx", F.row_number().over(w0).cast("long"))
+    role = (
+        F.when((F.col("user_id") % 17 == 0) & (F.col("turn_idx") == 2),
+               F.lit("assistant"))
+        .when(F.col("turn_idx") == 1, F.lit("system"))
+        .when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    planted = base.withColumn("role", role).where(~(
+        ((F.col("user_id") % 23 == 0) & (F.col("turn_idx") == 1))
+        | ((F.col("user_id") % 31 == 0) & (F.col("turn_idx") == 3))))
+    frame = planted.unionByName(
+        planted.where((F.col("user_id") % 19 == 0)
+                      & (F.col("turn_idx") == 4))
+    ).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "turn_idx", "role",
+        (F.col("user_id") % 4).cast("int").alias("pbucket"))
+
+    suite = ConstraintSuite(
+        name="transcript_audit",
+        constraints=(
+            not_null("role"),
+            unique("conv_id", "turn_idx"),
+            contiguous("turn_idx", over="conv_id"),
+            conversation_shape(
+                role_col="role", over="conv_id", order_by=["turn_idx"],
+                first_roles=["system"],
+                last_roles=["user", "assistant"],
+                allowed_transitions=[("system", "user"),
+                                     ("user", "assistant"),
+                                     ("assistant", "user")]),
+        ))
+    res, _ = SuiteEvaluator(spark, suite).evaluate(
+        frame, with_violations=False)
+    return res.select(
+        "partition_id", "constraint_id", "snapshot_id", "passed",
+        F.round("observed", 6).alias("observed"),
+        F.round("threshold", 6).alias("threshold"),
+        "rows_checked", "violation_count")
+
+
+_Q61_SQL = """
+WITH rn AS (
+  SELECT user_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           ::BIGINT AS turn_idx
+  FROM events),
+planted AS (
+  SELECT user_id, turn_idx,
+         CASE WHEN user_id % 17 = 0 AND turn_idx = 2 THEN 'assistant'
+              WHEN turn_idx = 1 THEN 'system'
+              WHEN turn_idx % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role
+  FROM rn
+  WHERE NOT ((user_id % 23 = 0 AND turn_idx = 1)
+          OR (user_id % 31 = 0 AND turn_idx = 3))),
+frame AS (
+  SELECT 'conv_bucket=' || (user_id % 4)::VARCHAR AS pid,
+         user_id, turn_idx, role
+  FROM planted
+  UNION ALL
+  SELECT 'conv_bucket=' || (user_id % 4)::VARCHAR, user_id, turn_idx, role
+  FROM planted WHERE user_id % 19 = 0 AND turn_idx = 4),
+uq AS (
+  SELECT pid, sum(cnt - 1)::BIGINT AS excess, sum(cnt)::BIGINT AS rows_c
+  FROM (SELECT pid, user_id, turn_idx, count(*)::BIGINT AS cnt
+        FROM frame GROUP BY 1, 2, 3)
+  GROUP BY pid),
+contig AS (
+  SELECT pid, count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS rows_c,
+         sum(CASE WHEN lo <> 1 OR hi <> n THEN 1 ELSE 0 END)::BIGINT AS bad
+  FROM (SELECT pid, user_id, count(DISTINCT turn_idx)::BIGINT AS n,
+               min(turn_idx) AS lo, max(turn_idx) AS hi
+        FROM frame GROUP BY 1, 2)
+  GROUP BY pid),
+seq AS (
+  SELECT pid, user_id, turn_idx, role,
+         lag(role) OVER w AS prev,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY pid, user_id) AS n
+  FROM frame
+  WINDOW w AS (PARTITION BY pid, user_id ORDER BY turn_idx, role)),
+shape AS (
+  SELECT pid,
+         ((rn = 1 AND role <> 'system')
+          OR (rn = n AND role NOT IN ('user', 'assistant'))
+          OR (rn > 1 AND prev || '>' || role NOT IN
+              ('system>user', 'user>assistant', 'assistant>user')))
+           AS bad_turn
+  FROM seq)
+SELECT pid AS partition_id, 'not_null:role' AS constraint_id,
+       0::BIGINT AS snapshot_id,
+       sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) = 0 AS passed,
+       round(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS observed,
+       0.0 AS threshold, count(*)::BIGINT AS rows_checked,
+       sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS violation_count
+FROM frame GROUP BY pid
+UNION ALL
+SELECT pid, 'unique:conv_id,turn_idx', 0::BIGINT, excess = 0,
+       round(excess * 1.0 / rows_c, 6), 0.0, rows_c, excess
+FROM uq
+UNION ALL
+SELECT pid, 'contig:turn_idx/conv_id', 0::BIGINT, bad = 0,
+       round(bad * 1.0 / n_groups, 6), 0.0, rows_c, bad
+FROM contig
+UNION ALL
+SELECT pid, 'shape:role/conv_id', 0::BIGINT,
+       sum(CASE WHEN bad_turn THEN 1 ELSE 0 END) = 0,
+       round(sum(CASE WHEN bad_turn THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+       0.0, count(*)::BIGINT,
+       sum(CASE WHEN bad_turn THEN 1 ELSE 0 END)::BIGINT
+FROM shape GROUP BY pid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3298,6 +3443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_categorical_drift": q58_categorical_drift,
     "q59_freshness_audit": q59_freshness_audit,
     "q60_conversation_shape": q60_conversation_shape,
+    "q61_transcript_suite_audit": q61_transcript_suite_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -3361,6 +3507,7 @@ ORACLES: dict[str, str] = {
     "q58_categorical_drift": _Q58_SQL,
     "q59_freshness_audit": _Q59_SQL,
     "q60_conversation_shape": _Q60_SQL,
+    "q61_transcript_suite_audit": _Q61_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
