@@ -1,0 +1,109 @@
+"""Temporal as-of join — attach, to each left row, the state of a
+right-hand (slowly-changing / event) table as of that row's timestamp.
+
+The reference resolves "which state applied at this moment" questions
+driver-side while merging chunk streams and replaying batch logs
+(ChronoMiner ``modules/operations/merge.py`` order discipline;
+``modules/infra/jsonl.py`` replay-by-timestamp); at cluster scale the
+same semantics are an as-of join between the fact stream and the
+versioned state table.
+
+Spark-first plan (the "union trick", not a range join): tag both
+sides, union them, and run ONE running ``last(payload, ignorenulls)``
+window per key ordered by (ts, side). Left rows carry a null payload,
+so the running last seen at a left row IS the most recent right row at
+or before it. Cost: one exchange on the join key + a streaming window
+(running frame — per-group state is one payload, a hot key streams).
+A naive range join is O(|L|·|R|) per key and a broadcast-range AQE
+plan still rescans; the union plan is O(|L|+|R|) with a single sort.
+
+Determinism: the right side is first collapsed to ONE row per
+(key, ts) via ``max(struct(payload))`` — at equal timestamps the
+lexicographically-greatest payload wins, a documented total order (the
+same discipline as last-wins dedup). At a left/right timestamp TIE the
+right row sorts first, so ``backward`` means ``right_ts <= left_ts``
+(and ``forward`` means ``right_ts >= left_ts``), matching DuckDB's
+ASOF JOIN inequality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_expr: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``right_cols`` from the
+    nearest ``right`` row per ``on`` key — the latest with
+    ``right_ts <= left_ts`` (``backward``) or the earliest with
+    ``right_ts >= left_ts`` (``forward``); null columns when no such
+    row exists. ``tolerance_expr`` (an interval SQL expression, e.g.
+    ``"INTERVAL 1 DAY"``) nulls matches farther than the tolerance.
+
+    Output columns: all of ``left``'s, then ``{prefix}{right_ts}`` and
+    ``{prefix}{c}`` for each right payload column.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    right_cols = (right_cols if right_cols is not None
+                  else [c for c in right.columns
+                        if c not in set(on) | {right_ts}])
+
+    # one right row per (key, ts): deterministic winner under the
+    # struct total order, and it makes the window's sort keys unique
+    # on the right side
+    r = (
+        right.select(*on, F.col(right_ts).alias("__ts"),
+                     F.struct(F.col(right_ts).alias("__mts"),
+                              *[F.col(c) for c in right_cols]).alias("__p"))
+        .groupBy(*on, "__ts")
+        .agg(F.max("__p").alias("__p"))
+    )
+    payload_t = r.schema["__p"].dataType
+    lu = left.select(
+        *on, F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_t).alias("__p"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    ru = r.select(
+        *on, "__ts", F.lit(0).alias("__side"), "__p",
+        F.lit(None).cast(lu.schema["__l"].dataType).alias("__l"),
+    )
+    ts_ord = F.col("__ts").asc() if direction == "backward" \
+        else F.col("__ts").desc()
+    w = (
+        W.partitionBy(*on)
+        .orderBy(ts_ord, F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        lu.unionByName(ru)
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+    )
+    if tolerance_expr is not None:
+        # backward: left_ts - match_ts <= tol; forward: match_ts -
+        # left_ts <= tol
+        gap_ok = (
+            (F.col("__m.__mts") <= F.col("__ts") + F.expr(tolerance_expr))
+            if direction == "forward"
+            else (F.col("__ts") <= F.col("__m.__mts")
+                  + F.expr(tolerance_expr))
+        )
+        matched = matched.withColumn(
+            "__m", F.when(gap_ok, F.col("__m")))
+    return matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        F.col("__m.__mts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )

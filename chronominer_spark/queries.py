@@ -3382,6 +3382,54 @@ FROM shape GROUP BY pid
 """
 
 
+def q62_asof_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py:asof_join): each purchase
+    event picks up the most recent click AT OR BEFORE it per user —
+    the "which state applied at this moment" join the reference
+    resolves driver-side when replaying batch logs by timestamp
+    (ChronoMiner modules/infra/jsonl.py replay; merge.py order
+    discipline). The union-trick plan costs one exchange on the key +
+    one STREAMING running-last window — O(|L|+|R|), never the range
+    join's O(|L|x|R|) per key. The oracle is DuckDB's native ASOF LEFT
+    JOIN over the identically deduplicated right side."""
+    from chronominer_spark.operators.temporal import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    # unmatched LEFT rows (purchases before any click) surface as
+    # explicit sentinels: pandas renders a NULL timestamp/double as
+    # NaT/NaN while Spark yields None, so raw nulls cannot value-hash
+    # across the two engines
+    return asof_join(
+        purchases, clicks, on=["user_id"],
+        left_ts="ts", right_ts="ts", right_cols=["value"],
+        direction="backward",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.coalesce(F.col("asof_ts"),
+                   F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+        .alias("asof_ts"),
+        F.round(F.coalesce(F.col("asof_value"), F.lit(-1.0)), 6)
+        .alias("click_value"))
+
+
+_Q62_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts,
+       coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+       round(coalesce(c.value, -1.0), 6) AS click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3444,6 +3492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_freshness_audit": q59_freshness_audit,
     "q60_conversation_shape": q60_conversation_shape,
     "q61_transcript_suite_audit": q61_transcript_suite_audit,
+    "q62_asof_state_join": q62_asof_state_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -3508,6 +3557,7 @@ ORACLES: dict[str, str] = {
     "q59_freshness_audit": _Q59_SQL,
     "q60_conversation_shape": _Q60_SQL,
     "q61_transcript_suite_audit": _Q61_SQL,
+    "q62_asof_state_join": _Q62_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

@@ -615,3 +615,56 @@ def test_heavy_hitters_empty_and_all_null_inputs(spark):
     assert heavy_hitters(empty, "item", k=4).count() == 0
     nulls = spark.createDataFrame([(None,)] * 10, "item string")
     assert heavy_hitters(nulls, "item", k=4).count() == 0
+
+
+def test_asof_join_backward_forward_tolerance_and_ties(spark):
+    """asof_join: backward picks the latest right row at-or-before each
+    left ts per key (ties inclusive), forward the earliest at-or-after;
+    tolerance nulls too-distant matches; unmatched left rows survive
+    with null columns; duplicate right timestamps resolve to the
+    struct-max payload (deterministic, parallelism-invariant)."""
+    from chronominer_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 25, 2), ("a", 5, 3), ("b", 50, 4),
+         ("c", 7, 5)],
+        "k string, ts long, lid int")
+    right = spark.createDataFrame(
+        [("a", 10, "r10"), ("a", 20, "r20"), ("a", 20, "r20bis"),
+         ("b", 60, "r60")],
+        "k string, ts long, v string")
+
+    back = {r["lid"]: (r["asof_ts"], r["asof_v"]) for r in asof_join(
+        left, right, on=["k"], right_cols=["v"]).collect()}
+    assert back[1] == (10, "r10")          # tie at ts=10 is inclusive
+    assert back[2] == (20, "r20bis")       # dup right ts -> struct max
+    assert back[3] == (None, None)         # nothing at or before 5
+    assert back[4] == (None, None)         # b's only right row is after
+    assert back[5] == (None, None)         # key with no right rows
+
+    fwd = {r["lid"]: (r["asof_ts"], r["asof_v"]) for r in asof_join(
+        left, right, on=["k"], right_cols=["v"],
+        direction="forward").collect()}
+    assert fwd[1] == (10, "r10")
+    assert fwd[2] == (None, None)          # nothing at or after 25
+    assert fwd[3] == (10, "r10")
+    assert fwd[4] == (60, "r60")
+
+    # tolerance: with timestamps, gaps beyond the interval null out
+    lts = spark.createDataFrame(
+        [("a", "2024-01-10 00:00:00", 1), ("a", "2024-01-30 00:00:00", 2)],
+        "k string, ts string, lid int").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    rts = spark.createDataFrame(
+        [("a", "2024-01-09 00:00:00", "near")],
+        "k string, ts string, v string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    tol = {r["lid"]: r["asof_v"] for r in asof_join(
+        lts, rts, on=["k"], right_cols=["v"],
+        tolerance_expr="INTERVAL 2 DAY").collect()}
+    assert tol[1] == "near"                # 1 day back: inside
+    assert tol[2] is None                  # 21 days back: nulled
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on=["k"], direction="sideways")
