@@ -3430,6 +3430,167 @@ FROM p ASOF LEFT JOIN c
 """
 
 
+def q63_validation_regression_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run regression diff (reporting.py:diff_validation_results)
+    under the driver oracle: the q61 suite evaluated over TWO
+    differently-damaged snapshots of the same transcript table — the
+    previous run carries only the duplicated-turn plant, the current
+    run only the deletion + re-role plants — and the diff must classify
+    every (partition, constraint) verdict transition: uniqueness
+    RESOLVED (the dup is gone), contiguity REGRESSED (deletions are
+    new), shape PERSISTING with its violation-count delta (both runs
+    break edges, differently), not_null STABLE. The reference's
+    operational twin is its failed-set reconciliation between retry
+    ledgers (ChronoMiner modules/operations/retry.py). Result tables
+    are O(partitions x constraints), so the diff join is broadcast-size
+    at any data scale."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite,
+        contiguous,
+        conversation_shape,
+        not_null,
+        unique,
+    )
+    from chronominer_spark.reporting import diff_validation_results
+
+    e = t(spark, sf_dir, "events")
+    w0 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = e.select("user_id", "ts", "event_id").withColumn(
+        "turn_idx", F.row_number().over(w0).cast("long"))
+    base_role = (
+        F.when(F.col("turn_idx") == 1, F.lit("system"))
+        .when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+
+    def finish(df):
+        return df.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            "turn_idx", "role",
+            (F.col("user_id") % 4).cast("int").alias("pbucket"))
+
+    clean = rn.withColumn("role", base_role)
+    prev_frame = finish(clean.unionByName(
+        clean.where((F.col("user_id") % 19 == 0)
+                    & (F.col("turn_idx") == 4))))
+    cur_frame = finish(
+        rn.withColumn(
+            "role",
+            F.when((F.col("user_id") % 17 == 0) & (F.col("turn_idx") == 2),
+                   F.lit("assistant")).otherwise(base_role))
+        .where(~(
+            ((F.col("user_id") % 23 == 0) & (F.col("turn_idx") == 1))
+            | ((F.col("user_id") % 31 == 0) & (F.col("turn_idx") == 3)))))
+
+    suite = ConstraintSuite(
+        name="transcript_audit",
+        constraints=(
+            not_null("role"),
+            unique("conv_id", "turn_idx"),
+            contiguous("turn_idx", over="conv_id"),
+            conversation_shape(
+                role_col="role", over="conv_id", order_by=["turn_idx"],
+                first_roles=["system"],
+                last_roles=["user", "assistant"],
+                allowed_transitions=[("system", "user"),
+                                     ("user", "assistant"),
+                                     ("assistant", "user")]),
+        ))
+    ev = SuiteEvaluator(spark, suite)
+    res_prev, _ = ev.evaluate(prev_frame, with_violations=False)
+    res_cur, _ = ev.evaluate(cur_frame, with_violations=False)
+    return diff_validation_results(res_prev, res_cur)
+
+
+def _q63_suite_sql_block(sfx: str, frame_sql: str) -> str:
+    """One instantiation of the q61 suite's result rows — (pid,
+    constraint, passed, violation_count) — over ``frame_sql``. Composed
+    twice by _Q63_SQL so both runs share one literal definition of the
+    per-family arithmetic."""
+    return f"""
+frame{sfx} AS ({frame_sql}),
+uq{sfx} AS (
+  SELECT pid, sum(cnt - 1)::BIGINT AS vc
+  FROM (SELECT pid, user_id, turn_idx, count(*)::BIGINT AS cnt
+        FROM frame{sfx} GROUP BY 1, 2, 3)
+  GROUP BY pid),
+contig{sfx} AS (
+  SELECT pid,
+         sum(CASE WHEN lo <> 1 OR hi <> n THEN 1 ELSE 0 END)::BIGINT AS vc
+  FROM (SELECT pid, user_id, count(DISTINCT turn_idx)::BIGINT AS n,
+               min(turn_idx) AS lo, max(turn_idx) AS hi
+        FROM frame{sfx} GROUP BY 1, 2)
+  GROUP BY pid),
+seq{sfx} AS (
+  SELECT pid, role,
+         lag(role) OVER w AS prev,
+         row_number() OVER w AS rn2,
+         count(*) OVER (PARTITION BY pid, user_id) AS n
+  FROM frame{sfx}
+  WINDOW w AS (PARTITION BY pid, user_id ORDER BY turn_idx, role)),
+shape{sfx} AS (
+  SELECT pid,
+         sum(CASE WHEN
+             (rn2 = 1 AND role <> 'system')
+             OR (rn2 = n AND role NOT IN ('user', 'assistant'))
+             OR (rn2 > 1 AND prev || '>' || role NOT IN
+                 ('system>user', 'user>assistant', 'assistant>user'))
+             THEN 1 ELSE 0 END)::BIGINT AS vc
+  FROM seq{sfx} GROUP BY pid),
+res{sfx} AS (
+  SELECT pid, 'not_null:role' AS cid,
+         sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END)::BIGINT AS vc
+  FROM frame{sfx} GROUP BY pid
+  UNION ALL SELECT pid, 'unique:conv_id,turn_idx', vc FROM uq{sfx}
+  UNION ALL SELECT pid, 'contig:turn_idx/conv_id', vc FROM contig{sfx}
+  UNION ALL SELECT pid, 'shape:role/conv_id', vc FROM shape{sfx})"""
+
+
+_Q63_SQL = (
+    """
+WITH rn AS (
+  SELECT user_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           ::BIGINT AS turn_idx
+  FROM events),
+rolesrc AS (
+  SELECT user_id, turn_idx,
+         CASE WHEN turn_idx = 1 THEN 'system'
+              WHEN turn_idx % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role
+  FROM rn),"""
+    + _q63_suite_sql_block("_p", """
+  SELECT 'conv_bucket=' || (user_id % 4)::VARCHAR AS pid,
+         user_id, turn_idx, role FROM rolesrc
+  UNION ALL
+  SELECT 'conv_bucket=' || (user_id % 4)::VARCHAR, user_id, turn_idx, role
+  FROM rolesrc WHERE user_id % 19 = 0 AND turn_idx = 4""")
+    + ","
+    + _q63_suite_sql_block("_c", """
+  SELECT 'conv_bucket=' || (user_id % 4)::VARCHAR AS pid, user_id, turn_idx,
+         CASE WHEN user_id % 17 = 0 AND turn_idx = 2 THEN 'assistant'
+              ELSE role END AS role
+  FROM rolesrc
+  WHERE NOT ((user_id % 23 = 0 AND turn_idx = 1)
+          OR (user_id % 31 = 0 AND turn_idx = 3))""")
+    + """
+SELECT coalesce(p.pid, c.pid) AS partition_id,
+       coalesce(p.cid, c.cid) AS constraint_id,
+       CASE WHEN p.vc IS NULL THEN 'new'
+            WHEN c.vc IS NULL THEN 'retired'
+            WHEN p.vc = 0 AND c.vc > 0 THEN 'regressed'
+            WHEN p.vc > 0 AND c.vc = 0 THEN 'resolved'
+            WHEN p.vc > 0 AND c.vc > 0 THEN 'persisting'
+            ELSE 'stable' END AS transition,
+       coalesce(p.vc, 0)::BIGINT AS violations_prev,
+       coalesce(c.vc, 0)::BIGINT AS violations_cur,
+       (coalesce(c.vc, 0) - coalesce(p.vc, 0))::BIGINT AS violations_delta
+FROM res_p p FULL OUTER JOIN res_c c
+  ON p.pid = c.pid AND p.cid = c.cid
+""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3493,6 +3654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_conversation_shape": q60_conversation_shape,
     "q61_transcript_suite_audit": q61_transcript_suite_audit,
     "q62_asof_state_join": q62_asof_state_join,
+    "q63_validation_regression_diff": q63_validation_regression_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -3558,6 +3720,7 @@ ORACLES: dict[str, str] = {
     "q60_conversation_shape": _Q60_SQL,
     "q61_transcript_suite_audit": _Q61_SQL,
     "q62_asof_state_join": _Q62_SQL,
+    "q63_validation_regression_diff": _Q63_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

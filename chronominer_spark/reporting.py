@@ -1,0 +1,69 @@
+"""Cross-run reporting over the engine's result tables.
+
+The reference surfaces "what changed since the last run" by diffing its
+batch logs and retry ledgers (ChronoMiner ``modules/operations/
+retry.py`` failed-set reconciliation; ``modules/infra/jsonl.py`` replay
+headers); for a validation engine the operational twin is a REGRESSION
+DIFF between two snapshots' per-partition result rows: which
+(partition, constraint) verdicts newly fail, which resolved, which
+persist, and how the violation counts moved.
+
+Scale posture: result tables are O(partitions x constraints) — many
+orders below the data being validated — so the full-outer diff is a
+broadcastable join; no row-level data is touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def diff_validation_results(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Full-outer diff of two runs' result tables on
+    (partition_id, constraint_id).
+
+    ``transition`` per pair:
+
+    - ``regressed``  — passed before, fails now (the page-alert row)
+    - ``resolved``   — failed before, passes now
+    - ``persisting`` — failed in both runs
+    - ``stable``     — passed in both runs
+    - ``new``        — (partition, constraint) only in the current run
+    - ``retired``    — only in the previous run
+
+    ``violations_delta`` is current minus previous counts (absent side
+    counted 0), so a persisting constraint that got WORSE is visible
+    without reading violation rows.
+    """
+    p = prev.select(
+        "partition_id", "constraint_id",
+        F.col("passed").alias("__passed_prev"),
+        F.col("violation_count").alias("violations_prev"))
+    c = cur.select(
+        "partition_id", "constraint_id",
+        F.col("passed").alias("__passed_cur"),
+        F.col("violation_count").alias("violations_cur"))
+    j = p.join(c, ["partition_id", "constraint_id"], "full_outer")
+    transition = (
+        F.when(F.col("__passed_prev").isNull(), F.lit("new"))
+        .when(F.col("__passed_cur").isNull(), F.lit("retired"))
+        .when(F.col("__passed_prev") & ~F.col("__passed_cur"),
+              F.lit("regressed"))
+        .when(~F.col("__passed_prev") & F.col("__passed_cur"),
+              F.lit("resolved"))
+        .when(~F.col("__passed_prev") & ~F.col("__passed_cur"),
+              F.lit("persisting"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        "partition_id", "constraint_id",
+        transition.alias("transition"),
+        F.coalesce("violations_prev", F.lit(0)).cast("long")
+        .alias("violations_prev"),
+        F.coalesce("violations_cur", F.lit(0)).cast("long")
+        .alias("violations_cur"),
+        (F.coalesce("violations_cur", F.lit(0))
+         - F.coalesce("violations_prev", F.lit(0))).cast("long")
+        .alias("violations_delta"),
+    )

@@ -825,3 +825,31 @@ def test_freshness_flags_stale_partitions(spark):
     assert not rows["conv_bucket=3"]["passed"]
     assert rows["conv_bucket=3"]["observed"] is None
     assert vio.count() == 0  # partition-level family: no row violations
+
+
+def test_diff_validation_results_classifies_all_transitions(spark):
+    """diff_validation_results: regressed / resolved / persisting /
+    stable from the passed flags, new / retired for (partition,
+    constraint) pairs present on only one side, and violation deltas
+    with absent sides counted as zero."""
+    from chronominer_spark.reporting import diff_validation_results
+
+    ddl = ("partition_id string, constraint_id string, passed boolean, "
+           "violation_count long")
+    prev = spark.createDataFrame(
+        [("p1", "a", True, 0), ("p1", "b", False, 5), ("p1", "c", False, 2),
+         ("p1", "d", True, 0), ("p1", "gone", False, 9)], ddl)
+    cur = spark.createDataFrame(
+        [("p1", "a", False, 3), ("p1", "b", True, 0), ("p1", "c", False, 7),
+         ("p1", "d", True, 0), ("p1", "fresh", False, 1)], ddl)
+    got = {r["constraint_id"]: r for r in
+           diff_validation_results(prev, cur).collect()}
+    assert got["a"]["transition"] == "regressed"
+    assert got["b"]["transition"] == "resolved"
+    assert got["c"]["transition"] == "persisting"
+    assert got["c"]["violations_delta"] == 5
+    assert got["d"]["transition"] == "stable"
+    assert got["gone"]["transition"] == "retired"
+    assert got["gone"]["violations_delta"] == -9
+    assert got["fresh"]["transition"] == "new"
+    assert got["fresh"]["violations_delta"] == 1
