@@ -32,6 +32,72 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_val: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    bucket_width: int = 3600,
+    interval_cols: list[str] | None = None,
+    prefix: str = "iv_",
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """Point-in-interval join: each ``points`` row paired with every
+    ``intervals`` row (same ``on`` key) whose ``[lo, hi]`` contains
+    ``point_val`` (numeric, e.g. epoch seconds). Inner semantics.
+
+    Spark-first plan (bucketize-then-refine, not a raw range join):
+    every interval explodes into the coarse buckets it covers
+    (``sequence(floor(lo/w), floor(hi/w))``), every point maps to its
+    one bucket, and the range predicate becomes an EQUI-join on
+    (key, bucket) plus an exact containment filter — shuffle is hashed,
+    never a broadcast-nested-loop or per-key cross product. Each
+    (point, interval) pair meets in exactly one bucket (the point's),
+    so no post-join dedup is needed. Cost: |intervals| x avg covered
+    buckets + |points| rows shuffled; pick ``bucket_width`` near the
+    typical interval span so intervals cover O(1) buckets.
+
+    Pathology guard: an interval covering more than
+    ``max_buckets_per_interval`` buckets fails the job via
+    ``raise_error`` inside the plan (zero extra actions) — an
+    open-ended interval would otherwise silently explode the exchange.
+
+    Output: every ``points`` column, then ``{prefix}{c}`` for each of
+    ``interval_cols`` (default: all interval columns except the key and
+    bounds) plus ``{prefix}{lo}``/``{prefix}{hi}``.
+    """
+    interval_cols = (interval_cols if interval_cols is not None
+                     else [c for c in intervals.columns
+                           if c not in set(on) | {lo, hi}])
+    w = F.lit(int(bucket_width)).cast("long")
+    blo = F.floor(F.col(lo) / w).cast("long")
+    bhi = F.floor(F.col(hi) / w).cast("long")
+    span_ok = (bhi - blo) < F.lit(int(max_buckets_per_interval))
+    iv = intervals.select(
+        *on,
+        F.col(lo).alias(f"{prefix}{lo}"), F.col(hi).alias(f"{prefix}{hi}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in interval_cols],
+        F.explode(F.when(span_ok, F.sequence(blo, bhi)).otherwise(
+            F.raise_error(F.format_string(
+                "interval_join: interval spans more than "
+                f"{max_buckets_per_interval} buckets of width "
+                f"{bucket_width} (lo=%s hi=%s) — widen bucket_width or "
+                "pre-clamp the interval",
+                F.col(lo).cast("string"), F.col(hi).cast("string"))))
+        ).alias("__bucket"),
+    )
+    pts = points.withColumn(
+        "__bucket", F.floor(F.col(point_val) / w).cast("long"))
+    return (
+        pts.join(iv, [*on, "__bucket"])
+        .where((F.col(point_val) >= F.col(f"{prefix}{lo}"))
+               & (F.col(point_val) <= F.col(f"{prefix}{hi}")))
+        .drop("__bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -3591,6 +3591,69 @@ FROM res_p p FULL OUTER JOIN res_c c
 """)
 
 
+def q64_session_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/temporal.py:interval_join): purchases
+    attributed to the click-session window they fall inside, per user —
+    composing the sessionizer (q09's operator) with the
+    bucketize-then-refine range join. The range predicate becomes an
+    EQUI-join on (user, time-bucket) plus an exact containment filter:
+    hashed shuffle, no broadcast-nested-loop, each (point, interval)
+    pair meets in exactly one bucket. Sessions are gap-derived so they
+    never overlap per user — every purchase matches at most one
+    session. Oracle: DuckDB recomputes the sessions (lag + cumsum) and
+    joins with a plain BETWEEN."""
+    from chronominer_spark.operators.assembly import sessionize
+    from chronominer_spark.operators.temporal import interval_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    sess = (
+        sessionize(clicks, "user_id", "ts", 86400)
+        .withColumn("e", F.col("ts").cast("timestamp").cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("e").alias("lo"), F.max("e").alias("hi"),
+             F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ets"))
+    return interval_join(
+        purchases, sess, on=["user_id"], point_val="ets",
+        bucket_width=86400, interval_cols=["session_id", "n_clicks"],
+    ).select("event_id", "user_id", "ets",
+             F.col("iv_session_id").alias("session_id"),
+             F.col("iv_n_clicks").alias("session_clicks"))
+
+
+_Q64_SQL = """
+WITH c AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS e
+  FROM events WHERE event_type = 'click'),
+flag AS (
+  SELECT user_id, e,
+         CASE WHEN e - lag(e) OVER w IS NULL
+               OR e - lag(e) OVER w > 86400 THEN 1 ELSE 0 END AS ns
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY e)),
+sid AS (
+  SELECT user_id, e,
+         (sum(ns) OVER (PARTITION BY user_id ORDER BY e
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM flag),
+sess AS (
+  SELECT user_id, session_id, min(e) AS lo, max(e) AS hi,
+         count(*)::BIGINT AS n_clicks
+  FROM sid GROUP BY 1, 2),
+p AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ets
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ets,
+       s.session_id, s.n_clicks AS session_clicks
+FROM p JOIN sess s
+  ON p.user_id = s.user_id AND p.ets BETWEEN s.lo AND s.hi
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3655,6 +3718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_transcript_suite_audit": q61_transcript_suite_audit,
     "q62_asof_state_join": q62_asof_state_join,
     "q63_validation_regression_diff": q63_validation_regression_diff,
+    "q64_session_interval_join": q64_session_interval_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -3721,6 +3785,7 @@ ORACLES: dict[str, str] = {
     "q61_transcript_suite_audit": _Q61_SQL,
     "q62_asof_state_join": _Q62_SQL,
     "q63_validation_regression_diff": _Q63_SQL,
+    "q64_session_interval_join": _Q64_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

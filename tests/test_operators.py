@@ -668,3 +668,37 @@ def test_asof_join_backward_forward_tolerance_and_ties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="backward|forward"):
         asof_join(left, right, on=["k"], direction="sideways")
+
+
+def test_interval_join_containment_overlap_and_span_guard(spark):
+    """interval_join: inclusive [lo, hi] containment via the
+    bucketize-then-refine equi-join; a point inside two overlapping
+    intervals matches both exactly once each (no bucket-level dups even
+    when an interval covers many buckets); keys never cross; an
+    interval spanning more than max_buckets_per_interval buckets fails
+    the job via the in-plan raise_error guard."""
+    import pytest as _pytest
+    from pyspark.sql.utils import CapturedException
+
+    from chronominer_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [("a", 100, 1), ("a", 10, 2), ("a", 250, 3), ("b", 100, 4)],
+        "k string, v long, pid int")
+    ivs = spark.createDataFrame(
+        [("a", 50, 150, "i1"), ("a", 90, 240, "i2"), ("a", 250, 260, "i3"),
+         ("b", 300, 400, "i4")],
+        "k string, lo long, hi long, name string")
+    got = interval_join(
+        pts, ivs, on=["k"], point_val="v", bucket_width=7,
+        interval_cols=["name"])
+    pairs = sorted((r["pid"], r["iv_name"]) for r in got.collect())
+    # point 100@a: inside i1 AND i2 (overlap -> both, once each);
+    # point 250@a: hi-inclusive i3 boundary; lo-inclusive via i3's lo;
+    # point 10@a: no interval; point 100@b: b's interval starts later
+    assert pairs == [(1, "i1"), (1, "i2"), (3, "i3")]
+
+    with _pytest.raises(CapturedException, match="spans more than"):
+        interval_join(
+            pts, ivs, on=["k"], point_val="v", bucket_width=7,
+            max_buckets_per_interval=3).collect()
