@@ -131,6 +131,8 @@ def conversation_shape_stream(
     allowed_transitions: list[tuple[str, str]] | None = None,
     order_cols: list[str] | None = None,
     query_name: str = "shape_state",
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
 ) -> StreamingQuery:
     """Streaming twin of the ``conversation_shape`` constraint family
     (engine.py:_conversation_shape): role-sequence validation applied
@@ -174,12 +176,27 @@ def conversation_shape_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    if output_dir is not None:
+        # durable deployment shape: parquet sink + checkpointed
+        # GroupState — a restarted query resumes each conversation's
+        # (last_role, n_seen) carry instead of re-judging
+        # mid-conversation turns as openers (the memory sink is
+        # debug-only and cannot recover from a checkpoint)
+        writer = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", output_dir)
+            .queryName(query_name)
+        )
+    else:
+        writer = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+        )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def ewma_stream(

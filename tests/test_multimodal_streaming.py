@@ -228,6 +228,86 @@ def test_streaming_shape_matches_batch_family(spark, tmp_path):
     assert {4, 6} <= flagged_turns
 
 
+def test_streaming_shape_resumes_state_from_checkpoint(spark, tmp_path):
+    """conversation_shape_stream with a checkpoint: stop the query
+    after two micro-batches, add a third file, restart against the SAME
+    checkpoint — batch 3's cross-batch edge verdicts must come from the
+    RESUMED (last_role, n_seen) state (a restart that lost state would
+    re-judge every conversation's first batch-3 turn as an opener), and
+    the union of pre- and post-restart outputs must equal the batch
+    family's verdicts."""
+    import os
+    import time
+
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, conversation_shape)
+    from chronominer_spark.streaming.stateful import conversation_shape_stream
+
+    def role_for(c, i):
+        base = "system" if i == 1 else ("user" if i % 2 == 0 else "assistant")
+        if c % 11 == 0 and i == 6:
+            return "assistant"       # bad edge crossing the restart
+        return base
+
+    rows = [(f"r{c:03d}", i, role_for(c, i), c % 4)
+            for c in range(40) for i in range(1, 8)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, pbucket int")
+    src = str(tmp_path / "turns_ckpt_stream")
+    ckpt = str(tmp_path / "shape_ckpt")
+
+    def write_range(lo, hi, bi):
+        (df.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") <= hi))
+         .coalesce(1).write.mode("append").parquet(src))
+        now = time.time() + bi
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                p = os.path.join(src, f)
+                if os.path.getmtime(p) > now - 1:
+                    os.utime(p, (now, now))
+
+    edges = [("system", "user"), ("user", "assistant"), ("assistant", "user")]
+    out_dir = str(tmp_path / "shape_out")
+    write_range(1, 3, 0)
+    write_range(4, 5, 1)
+    q1 = conversation_shape_stream(
+        spark, src, df.schema, first_roles=["system"],
+        allowed_transitions=edges, query_name="shape_ckpt_a",
+        checkpoint_dir=ckpt, output_dir=out_dir)
+    q1.processAllAvailable()
+    q1.stop()
+    got_a = spark.read.parquet(out_dir).select(
+        "conv_id", "turn_idx", "role", "detail").cache()
+    n_before_restart = got_a.count()
+
+    write_range(6, 7, 2)
+    q2 = conversation_shape_stream(
+        spark, src, df.schema, first_roles=["system"],
+        allowed_transitions=edges, query_name="shape_ckpt_b",
+        checkpoint_dir=ckpt, output_dir=out_dir)
+    q2.processAllAvailable()
+    q2.stop()
+    got_b = spark.read.parquet(out_dir).select(
+        "conv_id", "turn_idx", "role", "detail").exceptAll(got_a).cache()
+
+    suite = ConstraintSuite(
+        name="shape_ckpt_batch",
+        constraints=(conversation_shape(
+            role_col="role", over="conv_id", order_by=["turn_idx"],
+            first_roles=["system"], allowed_transitions=edges),))
+    _, vio = SuiteEvaluator(spark, suite).evaluate(df)
+    want = vio.select("conv_id", F.col("turn_idx").cast("long"),
+                      F.col("value").alias("role"), "detail")
+    got = got_a.unionByName(got_b)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # all verdicts landed AFTER the restart and needed the resumed carry
+    assert n_before_restart == 0
+    assert {r["turn_idx"] for r in got_b.collect()} == {6, 7}
+
+
 def test_incremental_exact_dedup_matches_batch(spark, tmp_path):
     """Streaming twin of exact_dedup: the same corpus split into 3
     micro-batches and folded through the content-key state table must

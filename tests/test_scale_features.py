@@ -295,3 +295,32 @@ def test_plan_shape_shuffle_ri_no_dim_broadcast(spark, transcripts):
     assert anti_lines, p
     assert all("Broadcast" not in ln for ln in anti_lines), anti_lines
     assert "partial_count" in p
+
+
+def test_plan_shape_conversation_shape_single_window_exchange(spark):
+    """Scale guard for the conversation_shape family: lag and lead must
+    come from ONE Window operator over ONE exchange (same partition +
+    order spec — Spark collapses them), with no join and no second
+    shuffle; per-group window state is a streaming frame, so a hot
+    conversation cannot accumulate. (Asserted over a shuffle-free
+    inline input so the plan contains ONLY the family's operators.)"""
+    from chronominer_spark.constraints import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, conversation_shape)
+    from chronominer_spark.plans.inspect import count_exchanges, physical_plan
+
+    df = spark.createDataFrame(
+        [("c%02d" % c, i, "user" if i % 2 else "assistant",
+          "2024-01-01", 1) for c in range(8) for i in range(1, 6)],
+        "conv_id string, turn_idx int, role string, ts string, pbucket int")
+    suite = ConstraintSuite(
+        name="shape_plan",
+        constraints=(conversation_shape(
+            role_col="role", over="conv_id", order_by=["turn_idx", "ts"],
+            allowed_transitions=[("user", "assistant"),
+                                 ("assistant", "user")]),))
+    _, vio = SuiteEvaluator(spark, suite).evaluate(df)
+    p = physical_plan(vio)
+    assert p.count("Window") == 1          # lag+lead share one operator
+    assert "Join" not in p
+    assert count_exchanges(vio) == 1       # the window partitioning only
