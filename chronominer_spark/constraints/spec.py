@@ -234,7 +234,13 @@ def conversation_shape(
     keys can never make the verdict partitioning-dependent); ``lag``
     gives the predecessor role, ``lead`` flags the final turn — both
     share the single sort, and per-group window state is one row, so a
-    hot conversation streams rather than accumulates."""
+    hot conversation streams rather than accumulates.
+
+    Scope note: sequences are judged within ``(partition, over)`` — a
+    conversation straddling physical partitions is judged per partition
+    (each fragment gets its own first/last verdicts). Partition tables
+    by a conversation-stable column (the default suite's ``pbucket``
+    is) so a conversation is always whole within its partition."""
     return Constraint(
         f"shape:{role_col}/{over}", "conversation_shape",
         {"role_col": role_col, "over": over,
