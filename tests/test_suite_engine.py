@@ -853,3 +853,30 @@ def test_diff_validation_results_classifies_all_transitions(spark):
     assert got["gone"]["violations_delta"] == -9
     assert got["fresh"]["transition"] == "new"
     assert got["fresh"]["violations_delta"] == 1
+
+
+def test_suite_stable_rows_match_golden_500k(spark):
+    """Row-wise golden contract for the default suite over the
+    deterministic 500k-turn bench input (BENCH/BASELINE.md
+    'results-fingerprint provenance': a sum-of-hashes fingerprint
+    detects drift but cannot name the changed row — this fixture can).
+    On mismatch the assertion message lists the exact differing rows.
+    Regenerate deliberately with tools/gen_suite_golden.py after an
+    INTENDED semantic change."""
+    import json
+    import os
+
+    from tools.gen_suite_golden import compute_rows
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "suite_stable_500k.json")
+    with open(fixture) as f:
+        golden = json.load(f)
+    got = compute_rows(spark)
+    want = [tuple(r) for r in golden["rows"]]
+    have = [tuple(r) for r in got]
+    missing = sorted(set(want) - set(have))[:5]
+    extra = sorted(set(have) - set(want))[:5]
+    assert have == want, (
+        f"default-suite stable rows drifted from the golden fixture; "
+        f"missing={missing} extra={extra}")
