@@ -15,7 +15,8 @@ Usage (sandbox, synthetic data)::
 
 Exit codes mirror the reference's contract
 (``/root/reference/main/process_text_files.py:1239-1295``):
-0 complete, 1 partial, 2 failed.
+0 complete, 1 partial, 2 failed; 3 = ``--fail-on-regression`` tripped
+(the run itself completed but a verdict regressed vs ``--diff-prev``).
 """
 
 from __future__ import annotations
@@ -23,6 +24,8 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+from pyspark.sql import functions as F
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -36,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--wave-size", type=int, default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--json", action="store_true", help="one-line JSON summary")
+    ap.add_argument("--diff-prev", default=None, metavar="RUN_ROOT",
+                    help="previous run's output root: report verdict "
+                         "transitions (regressed/resolved/...) vs it")
+    ap.add_argument("--fail-on-regression", action="store_true",
+                    help="with --diff-prev: exit 3 when any (partition, "
+                         "constraint) verdict regressed pass -> fail")
     args = ap.parse_args(argv)
 
     from chronominer_spark.constraints.spec import default_transcript_suite
@@ -88,13 +97,39 @@ def main(argv: list[str] | None = None) -> int:
             summary.rows_validated / summary.wall_seconds, 1
         ) if summary.wall_seconds else None,
     }
+    exit_code = summary.exit_code
+    if args.diff_prev:
+        # operational regression gate: classify every (partition,
+        # constraint) verdict transition vs a previous run's results
+        # (the reference's failed-set reconciliation between retry
+        # ledgers, as a results-table diff — O(partitions x constraints))
+        from chronominer_spark.reporting import diff_validation_results
+
+        prev = spark.read.parquet(f"{args.diff_prev}/results")
+        cur = spark.read.parquet(f"{args.output}/results")
+        diff = diff_validation_results(prev, cur)
+        counts = {r["transition"]: r["n"] for r in
+                  diff.groupBy("transition")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        payload["diff"] = counts
+        regressed = counts.get("regressed", 0)
+        if regressed:
+            payload["regressed_rows"] = [
+                {"partition_id": r["partition_id"],
+                 "constraint_id": r["constraint_id"],
+                 "violations_cur": r["violations_cur"]}
+                for r in diff.where(F.col("transition") == "regressed")
+                .orderBy("partition_id", "constraint_id").limit(50).collect()
+            ]
+            if args.fail_on_regression:
+                exit_code = 3
     if args.json:
         print(json.dumps(payload))
     else:
         for k, v in payload.items():
             print(f"{k}: {v}")
     spark.stop()
-    return summary.exit_code
+    return exit_code
 
 
 if __name__ == "__main__":

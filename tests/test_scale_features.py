@@ -324,3 +324,39 @@ def test_plan_shape_conversation_shape_single_window_exchange(spark):
     assert p.count("Window") == 1          # lag+lead share one operator
     assert "Join" not in p
     assert count_exchanges(vio) == 1       # the window partitioning only
+
+
+def test_conversation_shape_hot_conversation_streams(spark):
+    """Skew smoke: ONE conversation holding 500k turns (plus 100 normal
+    ones) through conversation_shape — the streaming lag/lead frame must
+    process the hot group without buffering it (a full-partition buffer
+    at this size inside the test JVM would OOM or crawl); verdict
+    arithmetic stays exact."""
+    from chronominer_spark.constraints import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, conversation_shape)
+
+    hot_n = 500_000
+    hot = spark.range(hot_n).select(
+        F.lit("hot").alias("conv_id"),
+        (F.col("id") + 1).cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 2 == 0, "user").otherwise("assistant")
+        .alias("role"),
+        F.lit(1).alias("pbucket"))
+    cold = spark.range(100).select(
+        F.format_string("c%04d", F.col("id")).alias("conv_id"),
+        F.lit(1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit(1).alias("pbucket"))
+    suite = ConstraintSuite(
+        name="hot_shape",
+        constraints=(conversation_shape(
+            role_col="role", over="conv_id", order_by=["turn_idx"],
+            first_roles=["user"],
+            allowed_transitions=[("user", "assistant"),
+                                 ("assistant", "user")]),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(hot.unionByName(cold))
+    r = res.collect()[0]
+    assert r["passed"] and r["violation_count"] == 0
+    assert r["rows_checked"] == hot_n + 100
+    assert vio.count() == 0

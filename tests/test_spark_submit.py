@@ -65,3 +65,56 @@ def test_spark_submit_py_files_runs_suite(tmp_path):
     assert payload["rows_validated"] >= 20000
     # results landed where a downstream reader expects them
     assert (out / "manifest.json").exists()
+
+
+def test_run_suite_diff_prev_regression_gate(spark, tmp_path):
+    """--diff-prev/--fail-on-regression: a second run over a DAMAGED
+    snapshot, diffed against the first (clean) run's results root,
+    reports regressed (partition, constraint) verdicts in the JSON
+    summary and exits 3 — the operational regression gate of
+    reporting.py:diff_validation_results, driven through the real CLI
+    subprocess."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"conv-{c:08d}", i, ["system", "user", "assistant"][i % 3],
+             f"text {c} {i}", None, 1)
+            for c in range(10) for i in range(1, 21)]
+    clean = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, pbucket int")
+    damaged = clean.withColumn(
+        "role", F.when((F.col("turn_idx") == 5), F.lit(None))
+        .otherwise(F.col("role")))
+    clean_p, damaged_p = str(tmp_path / "clean"), str(tmp_path / "damaged")
+    clean.write.parquet(clean_p)
+    damaged.write.parquet(damaged_p)
+
+    def run(table, out, extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "chronominer_spark.jobs.run_suite",
+             "--table", table, "--output", out, "--master", "local[4]",
+             "--json", *extra],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return proc.returncode, json.loads(line)
+
+    rc_a, pay_a = run(clean_p, str(tmp_path / "out_a"), [])
+    assert rc_a == 0 and pay_a["status"] == "complete"
+
+    rc_b, pay_b = run(damaged_p, str(tmp_path / "out_b"),
+                      ["--diff-prev", str(tmp_path / "out_a"),
+                       "--fail-on-regression"])
+    assert rc_b == 3
+    assert pay_b["diff"]["regressed"] >= 1
+    regressed_ids = {r["constraint_id"] for r in pay_b["regressed_rows"]}
+    assert "not_null:role" in regressed_ids
+
+    # same damaged snapshot re-diffed against itself: nothing regresses
+    rc_c, pay_c = run(damaged_p, str(tmp_path / "out_c"),
+                      ["--diff-prev", str(tmp_path / "out_b"),
+                       "--fail-on-regression"])
+    assert rc_c == 1 or rc_c == 0  # failures persist, none regress
+    assert "regressed" not in pay_c["diff"]
