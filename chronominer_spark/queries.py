@@ -3654,6 +3654,104 @@ FROM p JOIN sess s
 """
 
 
+def q65_streaming_shape_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-semantics dialogue-grammar validation, driver-verified
+    (the q42/q43 pattern applied to conversation_shape): planted
+    transcripts are ingested as three deterministic TURN-RANGE
+    micro-batches (1-20 / 21-45 / 46+) through the real
+    ``applyInPandasWithState`` query, so every conversation spans all
+    three batches and the turn-21 plant's verdict can only come from
+    the cross-batch (last_role) state carry. The oracle recomputes the
+    same per-turn verdicts with a plain lag window over the full frame
+    — the driver checks the incremental fold reaches the batch fixed
+    point, byte-identical detail strings included."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from chronominer_spark.streaming.stateful import conversation_shape_stream
+
+    e = t(spark, sf_dir, "events")
+    w0 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select("user_id", "ts", "event_id").withColumn(
+        "turn_idx", F.row_number().over(w0).cast("long"))
+    role = (
+        F.when((F.col("user_id") % 29 == 0) & (F.col("turn_idx") == 1),
+               F.lit("user"))
+        .when((F.col("user_id") % 17 == 0) & (F.col("turn_idx") == 2),
+              F.lit("assistant"))
+        .when((F.col("user_id") % 7 == 0) & (F.col("turn_idx") == 21),
+              F.lit("user"))
+        .when(F.col("turn_idx") == 1, F.lit("system"))
+        .when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    frame = base.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "turn_idx", role.alias("role"))
+
+    root = tempfile.mkdtemp(prefix="cm_q65_")
+    src = os.path.join(root, "src")
+    try:
+        for bi, (lo, hi) in enumerate([(1, 20), (21, 45), (46, 10**9)]):
+            (frame.where((F.col("turn_idx") >= lo)
+                         & (F.col("turn_idx") <= hi))
+             .coalesce(1).write.mode("append").parquet(src))
+            # strictly increasing mtimes: FileStreamSource must take the
+            # turn ranges in order for the state carry to be exercised
+            now = time.time() + bi
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    p = os.path.join(src, f)
+                    if os.path.getmtime(p) > now - 1:
+                        os.utime(p, (now, now))
+        q = conversation_shape_stream(
+            spark, src, frame.schema, first_roles=["system"],
+            allowed_transitions=[("system", "user"), ("user", "assistant"),
+                                 ("assistant", "user")],
+            query_name="q65_shape_stream")
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql(
+            "SELECT conv_id, turn_idx, role, detail FROM q65_shape_stream"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_Q65_SQL = """
+WITH rn AS (
+  SELECT user_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           ::BIGINT AS turn_idx
+  FROM events),
+planted AS (
+  SELECT user_id::VARCHAR AS conv_id, turn_idx,
+         CASE WHEN user_id % 29 = 0 AND turn_idx = 1 THEN 'user'
+              WHEN user_id % 17 = 0 AND turn_idx = 2 THEN 'assistant'
+              WHEN user_id % 7 = 0 AND turn_idx = 21 THEN 'user'
+              WHEN turn_idx = 1 THEN 'system'
+              WHEN turn_idx % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role
+  FROM rn),
+seq AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM planted)
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx = 1
+            THEN 'first role ' || role || ' not in system'
+            ELSE 'transition ' || prev || '>' || role || ' not allowed'
+       END AS detail
+FROM seq
+WHERE (turn_idx = 1 AND role <> 'system')
+   OR (turn_idx > 1 AND prev || '>' || role NOT IN
+       ('system>user', 'user>assistant', 'assistant>user'))
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3719,6 +3817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_asof_state_join": q62_asof_state_join,
     "q63_validation_regression_diff": q63_validation_regression_diff,
     "q64_session_interval_join": q64_session_interval_join,
+    "q65_streaming_shape_validation": q65_streaming_shape_validation,
 }
 
 ORACLES: dict[str, str] = {
@@ -3786,6 +3885,7 @@ ORACLES: dict[str, str] = {
     "q62_asof_state_join": _Q62_SQL,
     "q63_validation_regression_diff": _Q63_SQL,
     "q64_session_interval_join": _Q64_SQL,
+    "q65_streaming_shape_validation": _Q65_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
