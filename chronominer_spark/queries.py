@@ -3752,6 +3752,125 @@ WHERE (turn_idx = 1 AND role <> 'system')
 """
 
 
+def q66_text_equality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's FLAGSHIP family — per-turn text equality vs a
+    reference snapshot under stable last-wins turn ordering
+    (engine.py:_text_equality / _eq_turn_join) — under the driver
+    oracle. Transcripts derive from events (conv = user, text =
+    event_type:event_id); four deterministic plants cover every
+    classification: a LATER-ts duplicate turn whose 'v2' text must win
+    the last-wins dedup and therefore MISMATCH the reference (proving
+    winner selection feeds classification), a mutated reference turn
+    (mismatch), a dropped reference turn (extra_in_current), and an
+    added reference turn (missing_in_current, lineage taken from the
+    REF winner's partition). The oracle mirrors the side-tagged
+    winner+classify aggregate as arg_max-by-ts + a FULL OUTER join;
+    duplicate turns carry distinct timestamps so the engine's
+    hash tiebreak never fires and the mirror is exact."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, text_equality)
+
+    e = t(spark, sf_dir, "events")
+    w0 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "turn_idx", F.row_number().over(w0).cast("int")).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "turn_idx",
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string"))
+        .alias("text"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") % 4).cast("int").alias("pbucket"),
+        F.col("user_id").alias("uid"))
+    dup = (base.where((F.col("uid") % 19 == 0) & (F.col("turn_idx") == 4))
+           .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+           .withColumn("text", F.concat(F.col("text"), F.lit(" v2"))))
+    cur = base.unionByName(dup).drop("uid")
+
+    ref_kept = base.where(~((F.col("uid") % 23 == 0)
+                            & (F.col("turn_idx") == 5)))
+    ref_mut = ref_kept.withColumn(
+        "text",
+        F.when((F.col("uid") % 13 == 0) & (F.col("turn_idx") == 2),
+               F.concat(F.col("text"), F.lit(" mutated")))
+        .otherwise(F.col("text")))
+    ref_add = (base.where(F.col("uid") % 29 == 0)
+               .groupBy("conv_id", "pbucket", "uid")
+               .agg(F.lit(1).alias("__one"))
+               .select("conv_id", F.lit(9001).cast("int").alias("turn_idx"),
+                       F.lit("added turn").alias("text"),
+                       F.lit("2024-06-01 00:00:00").cast("timestamp")
+                       .alias("ts"), "pbucket", "uid"))
+    ref = ref_mut.unionByName(ref_add).drop("uid")
+
+    suite = ConstraintSuite(
+        name="eq_audit", constraints=(text_equality("text"),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(cur, ref)
+    per_detail = (
+        vio.groupBy("partition_id")
+        .agg(*[F.sum((F.col("detail") == d).cast("long")).alias(f"n_{a}")
+               for d, a in (("mismatch", "mismatch"),
+                            ("missing_in_current", "missing"),
+                            ("extra_in_current", "extra"))])
+    )
+    return (
+        res.select("partition_id", "rows_checked", "violation_count",
+                   "passed")
+        .join(per_detail, "partition_id", "left")
+        .na.fill(0, ["n_mismatch", "n_missing", "n_extra"])
+    )
+
+
+_Q66_SQL = """
+WITH rn AS (
+  SELECT user_id, ts, event_id, event_type,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           ::INT AS turn_idx
+  FROM events),
+base AS (
+  SELECT user_id, turn_idx,
+         'conv_bucket=' || (user_id % 4)::VARCHAR AS pid,
+         event_type || ':' || event_id::VARCHAR AS text, ts
+  FROM rn),
+cur AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT user_id, turn_idx, pid, text || ' v2', ts + INTERVAL 1 HOUR
+  FROM base WHERE user_id % 19 = 0 AND turn_idx = 4),
+curw AS (
+  SELECT user_id, turn_idx, pid, arg_max(text, ts) AS text
+  FROM cur GROUP BY 1, 2, 3),
+refw AS (
+  SELECT user_id, turn_idx, pid,
+         CASE WHEN user_id % 13 = 0 AND turn_idx = 2
+              THEN text || ' mutated' ELSE text END AS text
+  FROM base WHERE NOT (user_id % 23 = 0 AND turn_idx = 5)
+  UNION ALL
+  SELECT DISTINCT user_id, 9001, pid, 'added turn'
+  FROM base WHERE user_id % 29 = 0),
+cls AS (
+  SELECT coalesce(c.pid, r.pid) AS pid,
+         CASE WHEN c.text IS NULL THEN 'missing_in_current'
+              WHEN r.text IS NULL THEN 'extra_in_current'
+              WHEN c.text = r.text THEN 'match'
+              ELSE 'mismatch' END AS status
+  FROM curw c FULL OUTER JOIN refw r
+    ON c.user_id = r.user_id AND c.turn_idx = r.turn_idx)
+SELECT pid AS partition_id,
+       count(*)::BIGINT AS rows_checked,
+       sum(CASE WHEN status <> 'match' THEN 1 ELSE 0 END)::BIGINT
+         AS violation_count,
+       sum(CASE WHEN status <> 'match' THEN 1 ELSE 0 END) = 0 AS passed,
+       sum(CASE WHEN status = 'mismatch' THEN 1 ELSE 0 END)::BIGINT
+         AS n_mismatch,
+       sum(CASE WHEN status = 'missing_in_current' THEN 1 ELSE 0 END)::BIGINT
+         AS n_missing,
+       sum(CASE WHEN status = 'extra_in_current' THEN 1 ELSE 0 END)::BIGINT
+         AS n_extra
+FROM cls GROUP BY pid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3818,6 +3937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_validation_regression_diff": q63_validation_regression_diff,
     "q64_session_interval_join": q64_session_interval_join,
     "q65_streaming_shape_validation": q65_streaming_shape_validation,
+    "q66_text_equality_audit": q66_text_equality_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -3886,6 +4006,7 @@ ORACLES: dict[str, str] = {
     "q63_validation_regression_diff": _Q63_SQL,
     "q64_session_interval_join": _Q64_SQL,
     "q65_streaming_shape_validation": _Q65_SQL,
+    "q66_text_equality_audit": _Q66_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
