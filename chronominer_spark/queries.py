@@ -3752,21 +3752,10 @@ WHERE (turn_idx = 1 AND role <> 'system')
 """
 
 
-def q66_text_equality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's FLAGSHIP family — per-turn text equality vs a
-    reference snapshot under stable last-wins turn ordering
-    (engine.py:_text_equality / _eq_turn_join) — under the driver
-    oracle. Transcripts derive from events (conv = user, text =
-    event_type:event_id); four deterministic plants cover every
-    classification: a LATER-ts duplicate turn whose 'v2' text must win
-    the last-wins dedup and therefore MISMATCH the reference (proving
-    winner selection feeds classification), a mutated reference turn
-    (mismatch), a dropped reference turn (extra_in_current), and an
-    added reference turn (missing_in_current, lineage taken from the
-    REF winner's partition). The oracle mirrors the side-tagged
-    winner+classify aggregate as arg_max-by-ts + a FULL OUTER join;
-    duplicate turns carry distinct timestamps so the engine's
-    hash tiebreak never fires and the mirror is exact."""
+def _eq_audit(spark: SparkSession, sf_dir: str, digest) -> DataFrame:
+    """Shared body of q66/q67 — identical plants and output, two
+    physical strategies (direct side-tagged aggregate vs conv-digest
+    prepass + drilldown), one oracle."""
     from chronominer_spark.constraints.engine import SuiteEvaluator
     from chronominer_spark.constraints.spec import (
         ConstraintSuite, text_equality)
@@ -3804,7 +3793,7 @@ def q66_text_equality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ref_mut.unionByName(ref_add).drop("uid")
 
     suite = ConstraintSuite(
-        name="eq_audit", constraints=(text_equality("text"),))
+        name="eq_audit", constraints=(text_equality("text", digest=digest),))
     res, vio = SuiteEvaluator(spark, suite).evaluate(cur, ref)
     per_detail = (
         vio.groupBy("partition_id")
@@ -3819,6 +3808,36 @@ def q66_text_equality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_detail, "partition_id", "left")
         .na.fill(0, ["n_mismatch", "n_missing", "n_extra"])
     )
+
+
+
+def q66_text_equality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's FLAGSHIP family — per-turn text equality vs a
+    reference snapshot under stable last-wins turn ordering
+    (engine.py:_text_equality / _eq_turn_join) — under the driver
+    oracle. Transcripts derive from events (conv = user, text =
+    event_type:event_id); four deterministic plants cover every
+    classification: a LATER-ts duplicate turn whose 'v2' text must win
+    the last-wins dedup and therefore MISMATCH the reference (proving
+    winner selection feeds classification), a mutated reference turn
+    (mismatch), a dropped reference turn (extra_in_current), and an
+    added reference turn (missing_in_current, lineage taken from the
+    REF winner's partition). The oracle mirrors the side-tagged
+    winner+classify aggregate as arg_max-by-ts + a FULL OUTER join;
+    duplicate turns carry distinct timestamps so the engine's
+    hash tiebreak never fires and the mirror is exact."""
+    return _eq_audit(spark, sf_dir, digest=False)
+
+
+def q67_text_equality_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q66's audit through the OTHER physical strategy: the 3-channel
+    conversation-digest prepass (turn count + bit_xor + mod-2^31 sum of
+    per-turn hashes) with per-turn drilldown only for digest-differing
+    conversations (engine.py:_text_equality digest=True). Same plants,
+    same oracle — the driver verifies the two strategies reach
+    identical classified output, at the gate rather than only in
+    pytest."""
+    return _eq_audit(spark, sf_dir, digest=True)
 
 
 _Q66_SQL = """
@@ -3938,6 +3957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_session_interval_join": q64_session_interval_join,
     "q65_streaming_shape_validation": q65_streaming_shape_validation,
     "q66_text_equality_audit": q66_text_equality_audit,
+    "q67_text_equality_digest": q67_text_equality_digest,
 }
 
 ORACLES: dict[str, str] = {
@@ -4007,6 +4027,7 @@ ORACLES: dict[str, str] = {
     "q64_session_interval_join": _Q64_SQL,
     "q65_streaming_shape_validation": _Q65_SQL,
     "q66_text_equality_audit": _Q66_SQL,
+    "q67_text_equality_digest": _Q66_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but
