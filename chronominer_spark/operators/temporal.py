@@ -2,11 +2,11 @@
 right-hand (slowly-changing / event) table as of that row's timestamp.
 
 The reference resolves "which state applied at this moment" questions
-driver-side while merging chunk streams and replaying batch logs
-(ChronoMiner ``modules/operations/merge.py`` order discipline;
-``modules/infra/jsonl.py`` replay-by-timestamp); at cluster scale the
-same semantics are an as-of join between the fact stream and the
-versioned state table.
+driver-side while ordering batch results and replaying JSONL logs
+(ChronoMiner ``modules/extract/batch_output.py:280-284`` custom-id
+order discipline; ``modules/infra/jsonl.py`` append-log replay); at
+cluster scale the same semantics are an as-of join between the fact
+stream and the versioned state table.
 
 Spark-first plan (the "union trick", not a range join): tag both
 sides, union them, and run ONE running ``last(payload, ignorenulls)``

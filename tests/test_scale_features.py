@@ -360,3 +360,22 @@ def test_conversation_shape_hot_conversation_streams(spark):
     assert r["passed"] and r["violation_count"] == 0
     assert r["rows_checked"] == hot_n + 100
     assert vio.count() == 0
+
+
+def test_plan_shape_heavy_hitters_stream_never_shuffles(spark):
+    """Round-5 rewrite guard (ADVICE r4): heavy_hitters' per-split MG
+    pass must be mapInPandas fused into the scan — the ONLY exchange in
+    the whole plan is the tiny single-group final merge of <= k rows
+    per partition. The old groupBy(_split).applyInPandas shape hashed
+    the ENTIRE stream across an exchange and materialized each split as
+    one pandas frame (an OOM risk at scale)."""
+    from chronominer_spark.operators.sketches import heavy_hitters
+    from chronominer_spark.plans.inspect import count_exchanges, physical_plan
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 97).cast("string").alias("item")).repartition(8)
+    hh = heavy_hitters(df, "item", k=8)
+    p = physical_plan(hh)
+    assert count_exchanges(hh) == 1, p          # final single-group merge only
+    assert "MapInPandas" in p, p                # stream pass fused, not grouped
+    assert p.count("FlatMapGroupsInPandas") == 1, p   # the final merge alone
