@@ -11,6 +11,14 @@ transcripts table (the BASELINE.json metric). Set SPARK_GRAFT_SCALING=1
 to additionally run the suite at two parallelism levels (local[8] vs
 local[32]) and report per-core scaling efficiency (the sandbox evidence
 protocol for the N-vs-4N-executors criterion — see BASELINE.md).
+
+Every draw begins with a host-health sentinel (CPU 1-way/32-way + warm
+fsync'd write vs stored healthy-band floors) whose verdict is stamped
+into the JSON as "host_health" — a draw taken in a degraded host
+window (the BENCH_r04 phantom-regression failure mode) is labeled, not
+trusted. Pass --strict to refuse the draw (exit 4) when degraded.
+"queries" is the frozen round-2 headline list; "queries_r4" times
+representatives of the later families separately.
 """
 
 from __future__ import annotations
@@ -22,6 +30,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The timed list below is FROZEN at its round-2 composition for
+# round-over-round comparability. Representatives of families added
+# since are timed in the separately-reported queries_r4 section.
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_unique_key_check",
@@ -44,11 +55,105 @@ BENCH_QUERIES = [
     "q35_embedding_near_dups",
 ]
 
+# Healthy-band floors for the pre-flight host sentinel, calibrated on
+# this sandbox host on an idle morning (2026-08-18: 1-way sha256
+# 1288 MB/s, 32-way scale 14.7x, warm 256 MiB fsync'd write
+# 447-482 MB/s, load < 1). Floors sit at ~50-60% of healthy so the
+# documented ±16-18% between-JVM band never trips them; the evening
+# host pathology (cold/write phases 1.5-3x slower) does.
+HEALTH_FLOORS = {
+    "cpu_1way_mbps": 700.0,
+    "cpu_parallel_scale": 8.0,
+    "fsync_mbps": 150.0,
+    "load1_max": 4.0,
+}
+
+# round-4/5 additions tracked in their own timed section (BENCH_QUERIES
+# stays frozen): the always-on constraint families (conversation shape,
+# contiguity, categorical drift), the sketch/temporal operators, and
+# the flagship equality family
+BENCH_QUERIES_R4 = [
+    "q53_heavy_hitters",
+    "q57_contiguity_check",
+    "q58_categorical_drift",
+    "q60_conversation_shape",
+    "q62_asof_state_join",
+    "q64_session_interval_join",
+    "q66_text_equality_audit",
+]
+
 SUITE_TURNS = int(os.environ.get("SPARK_GRAFT_SUITE_TURNS", "2000000"))
 # scaling runs need a compute-bound workload: below ~8M turns the suite
 # finishes in seconds and fixed job-scheduling overhead dominates,
 # understating parallel efficiency
 SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "8000000"))
+
+
+def _host_health() -> dict:
+    """Pre-flight host sentinel (round-4 verdict task: BENCH_r04.json
+    silently recorded a degraded-host window as a phantom 2.4x
+    regression). Three microbenchmarks — single-thread sha256 rate,
+    32-thread aggregate scale (hashlib releases the GIL), and a warm
+    fsync'd 256 MiB write (first write discarded: cold page cache) —
+    plus the 1-min load average, each compared to the stored
+    healthy-band floors. The stamp rides in the bench JSON so a draw
+    taken on a sick machine is LABELED, not trusted."""
+    import concurrent.futures
+    import hashlib
+    import tempfile
+
+    def hash_mb(mb: int) -> None:
+        h = hashlib.sha256()
+        blk = b"\xab" * (1 << 20)
+        for _ in range(mb):
+            h.update(blk)
+        h.hexdigest()
+
+    t0 = time.perf_counter()
+    hash_mb(256)
+    one_way = 256 / (time.perf_counter() - t0)
+
+    nthr = min(32, os.cpu_count() or 32)
+    t0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(nthr) as ex:
+        list(ex.map(hash_mb, [256] * nthr))
+    scale = (nthr * 256 / (time.perf_counter() - t0)) / one_way
+
+    def fsync_write(mib: int) -> float:
+        fd, p = tempfile.mkstemp(prefix="cm_health_")
+        blk = b"\xcd" * (4 << 20)
+        t0 = time.perf_counter()
+        try:
+            with os.fdopen(fd, "wb") as f:
+                for _ in range(mib // 4):
+                    f.write(blk)
+                f.flush()
+                os.fsync(f.fileno())
+            return mib / (time.perf_counter() - t0)
+        finally:
+            os.unlink(p)
+
+    fsync_write(64)                 # throwaway: cold-cache first write
+    fsync_mbps = fsync_write(256)
+    load1 = os.getloadavg()[0]
+
+    measured = {
+        "cpu_1way_mbps": round(one_way, 1),
+        "cpu_parallel_scale": round(scale, 2),
+        "fsync_mbps": round(fsync_mbps, 1),
+        "load1": round(load1, 2),
+    }
+    failed = [k for k in ("cpu_1way_mbps", "cpu_parallel_scale",
+                          "fsync_mbps")
+              if measured[k] < HEALTH_FLOORS[k]]
+    if load1 > HEALTH_FLOORS["load1_max"]:
+        failed.append("load1")
+    return {
+        "status": "degraded" if failed else "ok",
+        "failed_checks": failed,
+        **measured,
+        "floors": HEALTH_FLOORS,
+    }
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -67,12 +172,12 @@ def _warmup(spark, sf_dir: str) -> None:
     QUERIES["q01_pricing_summary"](spark, sf_dir).count()
 
 
-def _run_queries(spark, sf_dir: str) -> dict[str, float]:
+def _run_queries(spark, sf_dir: str,
+                 names: list[str] | None = None) -> dict[str, float]:
     from chronominer_spark.queries import QUERIES
 
-    _warmup(spark, sf_dir)
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in (names if names is not None else BENCH_QUERIES):
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         n = df.count()
@@ -204,12 +309,23 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 
+    health = _host_health()
+    if health["status"] == "degraded" and "--strict" in sys.argv[1:]:
+        print(json.dumps({"error": "host degraded, --strict refused draw",
+                          "host_health": health}), file=sys.stderr)
+        sys.exit(4)
+
     spark = _session(cpus, shuffle=max(8, int(cpus)))
     t0 = time.time()
+    _warmup(spark, sf_dir)
     qtimes = _run_queries(spark, sf_dir)
     suite_wall, suite_rows, _ = _run_suite(spark, SUITE_TURNS)
     runner_wall, runner_rows = _run_runner(spark, SUITE_TURNS)
+    # legacy headline stops HERE: end_to_end_sec keeps its round-2
+    # composition so round-over-round deltas stay meaningful; the r4
+    # section is timed after it and reported separately
     total = round(time.time() - t0, 3)
+    qtimes_r4 = _run_queries(spark, sf_dir, BENCH_QUERIES_R4)
     turns_per_sec = round(suite_rows / suite_wall, 1)
     spark.stop()
 
@@ -217,7 +333,9 @@ def main() -> None:
         "metric": "end_to_end_sec",
         "value": total,
         "unit": "sec",
+        "host_health": health,
         "queries": qtimes,
+        "queries_r4": qtimes_r4,
         "sf": sf,
         "suite": {
             "turns": suite_rows,

@@ -62,6 +62,13 @@ ROW_LEVEL_KINDS = {
     "in_range", "matches", "cross_field_null", "expr_check",
 }
 
+# constraint kinds that compare the current frame against a reference
+# snapshot — evaluate() refuses to run them with ref_df=None
+REF_REQUIRING_KINDS = {
+    "text_equality", "drift_psi", "drift_ks",
+    "drift_quantile", "drift_categorical", "row_count_drift",
+}
+
 
 def schema_diff(
     df: DataFrame, expected: dict[str, str], allow_extra: bool = False,
@@ -154,6 +161,23 @@ class SuiteEvaluator:
         if not self.suite.constraints:
             raise ValueError(
                 f"suite {self.suite.name!r} declares no constraints"
+            )
+        # A cross-snapshot constraint evaluated without a reference frame
+        # must FAIL LOUDLY, not vanish: silently skipping it would make a
+        # misconfigured run (ref forgotten) read as all-pass for exactly
+        # the families that compare snapshots — the same "cannot be
+        # certified" discipline these families apply per partition
+        # (round-4 ADVICE; previously each kind was `continue`d).
+        ref_needing = [
+            c.constraint_id for c in self.suite.constraints
+            if c.kind in REF_REQUIRING_KINDS
+        ]
+        if ref_needing and ref_df is None:
+            raise ValueError(
+                f"suite {self.suite.name!r} contains cross-snapshot "
+                f"constraints {ref_needing} that require ref_df, but "
+                "evaluate() was called with ref_df=None — pass the "
+                "reference snapshot or drop these constraints"
             )
         part = self._partition_id_col(df)
         df = df.withColumn("_pid", part)
@@ -273,8 +297,6 @@ class SuiteEvaluator:
                 if with_violations:
                     violations.append(v)
             elif c.kind == "text_equality":
-                if ref is None:
-                    continue
                 pre = None
                 if cur_n is not None and ref_n is not None \
                         and not c.params.get("digest", False):
@@ -305,23 +327,17 @@ class SuiteEvaluator:
                 if with_violations:
                     violations.append(v)
             elif c.kind == "drift_quantile":
-                if ref is None:
-                    continue
                 results.append(self._drift_quantile(df, ref, c))
             elif c.kind == "drift_categorical":
-                if ref is None:
-                    continue
                 results.append(self._drift_categorical(df, ref, c))
             elif c.kind == "freshness":
                 results.append(self._freshness(df, c))
             elif c.kind == "schema_match":
                 results.append(self._schema_match(df, c))
             elif c.kind == "row_count_drift":
-                if ref is None:
-                    continue
                 results.append(self._row_count_drift(df, ref, c))
 
-        if drift_cs and ref is not None:
+        if drift_cs:
             results.extend(self._drift_family(
                 df, ref, drift_cs,
                 cur_n=cur_n, ref_n=ref_n, groups=drift_groups))
@@ -911,8 +927,14 @@ class SuiteEvaluator:
             F.min("__idx").alias("__lo"),
             F.max("__idx").alias("__hi"),
         )
-        bad_pred = (F.col("__lo") != F.lit(start)) | (
-            F.col("__hi") != F.col("__n") + F.lit(start - 1))
+        # an all-null-index group yields null __lo/__hi; null means "no
+        # valid indices at all", which is plainly not start..start+n-1,
+        # so the predicate coalesces to a violation rather than
+        # silently passing (round-4 ADVICE)
+        bad_pred = F.coalesce(
+            (F.col("__lo") != F.lit(start)) | (
+                F.col("__hi") != F.col("__n") + F.lit(start - 1)),
+            F.lit(True))
         base = groups.groupBy("_pid").agg(
             F.count(F.lit(1)).alias("n_groups"),
             F.sum("__n").alias("rows_checked"),
@@ -945,9 +967,12 @@ class SuiteEvaluator:
                 F.lit(idx_col).alias("column"),
                 self._sval(F.col(over)).alias("value"),
                 F.format_string(
-                    "distinct=%d min=%d max=%d expected=%d..%d",
-                    F.col("__n"), F.col("__lo"), F.col("__hi"),
-                    F.lit(start), F.col("__n") + F.lit(start - 1),
+                    "distinct=%s min=%s max=%s expected=%s..%s",
+                    F.col("__n").cast("string"),
+                    F.coalesce(F.col("__lo").cast("string"), F.lit("null")),
+                    F.coalesce(F.col("__hi").cast("string"), F.lit("null")),
+                    F.lit(str(start)),
+                    (F.col("__n") + F.lit(start - 1)).cast("string"),
                 ).alias("detail"),
             )
         )

@@ -17,6 +17,10 @@ Exit codes mirror the reference's contract
 (``/root/reference/main/process_text_files.py:1239-1295``):
 0 complete, 1 partial, 2 failed; 3 = ``--fail-on-regression`` tripped
 (the run itself completed but a verdict regressed vs ``--diff-prev``).
+Precedence: 2 beats 3 — a FAILED run keeps exit 2 even when it also
+regressed, so the harder signal is never masked; only complete/partial
+runs (0/1) escalate to 3. An unreadable ``--diff-prev`` path is a
+clean exit-2 CLI error, not a traceback.
 """
 
 from __future__ import annotations
@@ -77,9 +81,26 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.table)
         ref = spark.read.parquet(args.ref) if args.ref else None
 
+    from chronominer_spark.constraints.engine import REF_REQUIRING_KINDS
     from chronominer_spark.constraints.spec import default_vocab_dfs
 
     suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
+    if ref is None:
+        # the engine refuses to silently skip cross-snapshot families
+        # (evaluate() raises); a ref-less CLI run subsets the suite
+        # EXPLICITLY and says so — the dropped ids go to stderr and the
+        # smaller suite changes the checkpoint config fingerprint, so a
+        # later ref-ful run cannot silently reuse these results
+        dropped = [c.constraint_id for c in suite.constraints
+                   if c.kind in REF_REQUIRING_KINDS]
+        if dropped:
+            print(f"notice: no --ref given; skipping cross-snapshot "
+                  f"constraints {dropped}", file=sys.stderr)
+            import dataclasses
+            suite = dataclasses.replace(
+                suite, name=f"{suite.name}_noref",
+                constraints=tuple(c for c in suite.constraints
+                                  if c.kind not in REF_REQUIRING_KINDS))
     runner = SuiteRunner(spark, suite, args.output,
                          vocab_dfs=default_vocab_dfs(spark, list(TOOL_VOCAB)))
     summary = runner.run(df, ref, snapshot_id=args.snapshot,
@@ -103,9 +124,17 @@ def main(argv: list[str] | None = None) -> int:
         # constraint) verdict transition vs a previous run's results
         # (the reference's failed-set reconciliation between retry
         # ledgers, as a results-table diff — O(partitions x constraints))
+        from pyspark.errors import AnalysisException
+
         from chronominer_spark.reporting import diff_validation_results
 
-        prev = spark.read.parquet(f"{args.diff_prev}/results")
+        try:
+            prev = spark.read.parquet(f"{args.diff_prev}/results")
+        except AnalysisException as e:
+            print(f"error: --diff-prev {args.diff_prev!r} has no readable "
+                  f"results table ({e.getErrorClass() or e})", file=sys.stderr)
+            spark.stop()
+            return 2
         cur = spark.read.parquet(f"{args.output}/results")
         diff = diff_validation_results(prev, cur)
         counts = {r["transition"]: r["n"] for r in
@@ -122,7 +151,10 @@ def main(argv: list[str] | None = None) -> int:
                 .orderBy("partition_id", "constraint_id").limit(50).collect()
             ]
             if args.fail_on_regression:
-                exit_code = 3
+                # never mask a harder failure: a run that FAILED (2)
+                # keeps its own code; only complete/partial runs (0/1)
+                # escalate to the regression code
+                exit_code = 3 if exit_code < 2 else exit_code
     if args.json:
         print(json.dumps(payload))
     else:

@@ -28,6 +28,8 @@ ASOF JOIN inequality.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -39,7 +41,7 @@ def interval_join(
     point_val: str,
     lo: str = "lo",
     hi: str = "hi",
-    bucket_width: int = 3600,
+    bucket_width: int | None = None,
     interval_cols: list[str] | None = None,
     prefix: str = "iv_",
     max_buckets_per_interval: int = 4096,
@@ -59,6 +61,15 @@ def interval_join(
     buckets + |points| rows shuffled; pick ``bucket_width`` near the
     typical interval span so intervals cover O(1) buckets.
 
+    ``bucket_width=None`` (default) derives the width from the data:
+    one cheap aggregate over the interval side takes the p95 of
+    ``hi − lo`` and uses it as the width, so even tail intervals cover
+    ~2 buckets and second-scale vs day-scale interval tables both get
+    a sane plan without tuning (a fixed default silently fans out when
+    spans are far from it — round-4 verdict task). The explicit
+    parameter remains the override; pathological outliers beyond
+    ``max_buckets_per_interval`` x width still fail loudly.
+
     Pathology guard: an interval covering more than
     ``max_buckets_per_interval`` buckets fails the job via
     ``raise_error`` inside the plan (zero extra actions) — an
@@ -71,6 +82,13 @@ def interval_join(
     interval_cols = (interval_cols if interval_cols is not None
                      else [c for c in intervals.columns
                            if c not in set(on) | {lo, hi}])
+    if bucket_width is None:
+        spans = intervals.select(
+            (F.col(hi) - F.col(lo)).cast("double").alias("__span"))
+        qs = spans.where(F.col("__span").isNotNull()) \
+            .approxQuantile("__span", [0.95], 0.01)
+        # empty/all-null interval side: any width joins zero pairs
+        bucket_width = max(1, int(math.ceil(qs[0]))) if qs else 3600
     w = F.lit(int(bucket_width)).cast("long")
     blo = F.floor(F.col(lo) / w).cast("long")
     bhi = F.floor(F.col(hi) / w).cast("long")

@@ -3694,27 +3694,32 @@ def q65_streaming_shape_validation(spark: SparkSession, sf_dir: str) -> DataFram
     root = tempfile.mkdtemp(prefix="cm_q65_")
     src = os.path.join(root, "src")
     try:
+        # strictly increasing mtimes: FileStreamSource must take the
+        # turn ranges in order for the state carry to be exercised.
+        # Each batch's NEW files (tracked by name — the old mtime-window
+        # guard was a no-op for batches >= 1) get a fixed base + bi
+        # stamp, so batches can never tie even on coarse-granularity
+        # filesystems.
+        base_mtime = time.time()
+        stamped: set[str] = set()
         for bi, (lo, hi) in enumerate([(1, 20), (21, 45), (46, 10**9)]):
             (frame.where((F.col("turn_idx") >= lo)
                          & (F.col("turn_idx") <= hi))
              .coalesce(1).write.mode("append").parquet(src))
-            # strictly increasing mtimes: FileStreamSource must take the
-            # turn ranges in order for the state carry to be exercised
-            now = time.time() + bi
             for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    p = os.path.join(src, f)
-                    if os.path.getmtime(p) > now - 1:
-                        os.utime(p, (now, now))
+                if f.endswith(".parquet") and f not in stamped:
+                    mt = base_mtime + bi
+                    os.utime(os.path.join(src, f), (mt, mt))
+                    stamped.add(f)
         q = conversation_shape_stream(
             spark, src, frame.schema, first_roles=["system"],
             allowed_transitions=[("system", "user"), ("user", "assistant"),
                                  ("assistant", "user")],
-            query_name="q65_shape_stream")
+            query_name="shape_stream_sink")
         q.processAllAvailable()
         q.stop()
         out = spark.sql(
-            "SELECT conv_id, turn_idx, role, detail FROM q65_shape_stream"
+            "SELECT conv_id, turn_idx, role, detail FROM shape_stream_sink"
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -702,3 +702,37 @@ def test_interval_join_containment_overlap_and_span_guard(spark):
         interval_join(
             pts, ivs, on=["k"], point_val="v", bucket_width=7,
             max_buckets_per_interval=3).collect()
+
+
+def test_interval_join_auto_bucket_width(spark):
+    """bucket_width=None derives the width from the p95 of hi-lo (one
+    cheap agg over the interval side), so second-scale and day-scale
+    interval tables both get a sane plan with no tuning: results match
+    an explicitly well-tuned width, and the auto width lands near the
+    actual span scale (no fan-out, no span-guard trip)."""
+    from chronominer_spark.operators.temporal import interval_join
+
+    def mk(span):
+        ivs = spark.createDataFrame(
+            [("k", i * span * 2, i * span * 2 + span, f"i{i}")
+             for i in range(40)],
+            "k string, lo long, hi long, name string")
+        pts = spark.createDataFrame(
+            [("k", i * span * 2 + span // 2, i) for i in range(40)],
+            "k string, v long, pid int")
+        return pts, ivs
+
+    for span in (5, 86_400):           # second-scale vs day-scale
+        pts, ivs = mk(span)
+        auto = interval_join(pts, ivs, on=["k"], point_val="v",
+                             interval_cols=["name"])
+        tuned = interval_join(pts, ivs, on=["k"], point_val="v",
+                              bucket_width=span, interval_cols=["name"])
+        a = sorted((r["pid"], r["iv_name"]) for r in auto.collect())
+        assert a == sorted((r["pid"], r["iv_name"]) for r in tuned.collect())
+        assert len(a) == 40
+
+    # empty interval side: auto mode must not crash on the empty agg
+    pts, ivs = mk(5)
+    assert interval_join(pts, ivs.where("lo < 0"), on=["k"], point_val="v",
+                         interval_cols=["name"]).count() == 0

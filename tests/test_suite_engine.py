@@ -880,3 +880,56 @@ def test_suite_stable_rows_match_golden_500k(spark):
     assert have == want, (
         f"default-suite stable rows drifted from the golden fixture; "
         f"missing={missing} extra={extra}")
+
+
+def test_contiguous_all_null_index_group_is_violation(spark):
+    """Round-4 ADVICE: a group whose indices are ALL null has null
+    __lo/__hi, which used to null out the violation predicate — the
+    group was counted in n_groups yet could never be flagged, silently
+    passing contiguity. Null bounds mean 'no valid indices', which is
+    plainly not start..start+n-1: coalesce makes it a violation with a
+    readable detail."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, contiguous
+
+    cur = spark.createDataFrame(
+        [("ok", 1, 1), ("ok", 2, 1),
+         ("allnull", None, 1), ("allnull", None, 1),
+         ("mixed", 1, 1), ("mixed", None, 1)],
+        "conv_id string, turn_idx int, pbucket int",
+    )
+    suite = ConstraintSuite(
+        name="contig_null",
+        constraints=(contiguous("turn_idx", over="conv_id"),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(cur)
+    r = res.collect()[0]
+    # allnull: null bounds -> violation; mixed: distinct pairs {1, null}
+    # -> n=2 but hi=1 != 2 -> violation; ok passes
+    assert r["violation_count"] == 2 and not r["passed"]
+    bad = {v["conv_id"]: v["detail"] for v in vio.collect()}
+    assert set(bad) == {"allnull", "mixed"}
+    assert bad["allnull"] == "distinct=1 min=null max=null expected=1..1"
+
+
+def test_ref_requiring_constraints_without_ref_raise_loudly(spark, transcripts):
+    """Round-4 ADVICE: cross-snapshot families (drift_*, row_count_drift,
+    text_equality) used to be silently skipped when evaluate() ran
+    without a reference frame — a misconfigured run read as all-pass.
+    Now ANY ref-requiring constraint present with ref_df=None raises,
+    even when the suite also contains evaluable families."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, drift_categorical, drift_quantile, not_null,
+        row_count_drift)
+
+    for bad in (drift_quantile("turn_idx", qs=[0.5]),
+                drift_categorical("role"),
+                row_count_drift(max_rel_change=0.5)):
+        suite = ConstraintSuite(name="mixed", constraints=(not_null("role"), bad))
+        ev = SuiteEvaluator(spark, suite)
+        with pytest.raises(ValueError, match="ref_df"):
+            ev.evaluate(transcripts, None, snapshot_id=1)
+        # with the reference supplied the same suite evaluates normally
+        res, _ = ev.evaluate(transcripts, transcripts, snapshot_id=1)
+        assert res.where(F.col("constraint_id") == bad.constraint_id).count() > 0
+        ev.unpersist_all()
