@@ -321,6 +321,11 @@ class SuiteEvaluator:
                 results.append(r)
                 if with_violations:
                     violations.append(v)
+            elif c.kind == "functional_dependency":
+                r, v = self._functional_dependency(df, c)
+                results.append(r)
+                if with_violations:
+                    violations.append(v)
             elif c.kind == "conversation_shape":
                 r, v = self._conversation_shape(df, c)
                 results.append(r)
@@ -927,13 +932,17 @@ class SuiteEvaluator:
             F.min("__idx").alias("__lo"),
             F.max("__idx").alias("__hi"),
         )
+        # start=None: completeness form — anchor at the group's own
+        # minimum, so only GAPS violate (n distinct values spanning
+        # lo..hi are gapless iff hi - lo + 1 == n)
+        start_col = F.col("__lo") if start is None else F.lit(start)
         # an all-null-index group yields null __lo/__hi; null means "no
         # valid indices at all", which is plainly not start..start+n-1,
         # so the predicate coalesces to a violation rather than
         # silently passing (round-4 ADVICE)
         bad_pred = F.coalesce(
-            (F.col("__lo") != F.lit(start)) | (
-                F.col("__hi") != F.col("__n") + F.lit(start - 1)),
+            (F.col("__lo") != start_col) | (
+                F.col("__hi") != F.col("__n") + start_col - F.lit(1)),
             F.lit(True))
         base = groups.groupBy("_pid").agg(
             F.count(F.lit(1)).alias("n_groups"),
@@ -971,8 +980,85 @@ class SuiteEvaluator:
                     F.col("__n").cast("string"),
                     F.coalesce(F.col("__lo").cast("string"), F.lit("null")),
                     F.coalesce(F.col("__hi").cast("string"), F.lit("null")),
-                    F.lit(str(start)),
-                    (F.col("__n") + F.lit(start - 1)).cast("string"),
+                    F.coalesce(start_col.cast("string"), F.lit("null")),
+                    F.coalesce(
+                        (F.col("__n") + start_col - F.lit(1)).cast("string"),
+                        F.lit("null")),
+                ).alias("detail"),
+            )
+        )
+        return res, vio
+
+    # -- functional dependency -------------------------------------------------
+    def _functional_dependency(
+        self, df: DataFrame, c: Constraint
+    ) -> tuple[DataFrame, DataFrame]:
+        """``determinant -> dependent`` consistency (spec rationale at
+        :func:`~chronominer_spark.constraints.spec.functional_dependency`).
+        Stage 1 collapses to distinct ``(_pid, det..., dep)`` tuples —
+        the exchange hashes the FULL tuple, so a hot determinant key's
+        rows spread across reducers and duplicates combine map-side
+        (the dependent value plays the salt's role, exactly the
+        :meth:`_contiguous` skew posture). Stage 2 reduces each key to
+        ``(n_dep, min, max)`` — algebraic, map-side-combined — and a
+        key is bad iff ``n_dep > 1``; min/max double as exemplars in
+        the violation detail, so no second value-fetch pass exists.
+        A null dependent is a value (distinct keeps it; the count
+        counts it): {x, null} is inconsistent."""
+        p = c.params
+        det, dep = p["determinant"], p["dependent"]
+        dedup = df.select(
+            "_pid", *det,
+            F.col(dep).cast("string").alias("__dep")).distinct()
+        groups = dedup.groupBy("_pid", *det).agg(
+            F.count(F.lit(1)).alias("__n_dep"),
+            F.min("__dep").alias("__lo"),
+            F.max("__dep").alias("__hi"),
+            # min/max skip nulls, so a {x, null} key would read eg=x..x;
+            # the null membership is surfaced explicitly instead
+            F.max(F.col("__dep").isNull()).alias("__has_null"),
+        )
+        bad_pred = F.col("__n_dep") > 1
+        base = groups.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("__n_dep").alias("rows_checked"),
+            F.sum(bad_pred.cast("long")).alias("violation_count"),
+        )
+        res = (
+            base.select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                (F.col("violation_count") / F.col("n_groups"))
+                .cast("double").alias("observed"),
+                F.lit(p.get("max_rate", 0.0)).cast("double")
+                .alias("threshold"),
+                "rows_checked",
+                F.col("violation_count").cast("long")
+                .alias("violation_count"),
+            )
+            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        )
+        key_cols = list(self.suite.key_cols)
+        vio = (
+            groups.where(bad_pred)
+            .select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                *[
+                    (F.col(k) if k in det else F.lit(None)).alias(k)
+                    for k in key_cols
+                ],
+                F.lit(dep).alias("column"),
+                self._sval(F.concat_ws(",", *[F.col(d) for d in det]))
+                .alias("value"),
+                F.format_string(
+                    "n_dependents=%s eg=%s..%s%s",
+                    F.col("__n_dep").cast("string"),
+                    F.coalesce(F.col("__lo"), F.lit("null")),
+                    F.coalesce(F.col("__hi"), F.lit("null")),
+                    F.when(F.col("__has_null")
+                           & F.col("__lo").isNotNull(), F.lit("+null"))
+                    .otherwise(F.lit("")),
                 ).alias("detail"),
             )
         )

@@ -182,24 +182,60 @@ def group_stats(group_col: str, max_group_rows: int | None = None,
     )
 
 
-def contiguous(idx_col: str, over: str, start: int = 1,
+def contiguous(idx_col: str, over: str, start: int | None = 1,
                max_rate: float = 0.0) -> Constraint:
     """Per-group index contiguity: within each ``over`` group the
     DISTINCT ``idx_col`` values must be exactly
     ``start .. start + n - 1`` — the transcript invariant "a
     conversation's turns are 1..n with no gaps" (the reference loads a
     chunk set and refuses to merge when a chunk index is missing;
-    ChronoMiner `modules/operations/merge.py` order discipline). n
+    ChronoMiner `modules/extract/batch_output.py:280-284` chunk-index
+    order discipline). n
     distinct values with ``min == start`` and ``max == start + n - 1``
     characterize the full range exactly, so one distinct pass plus an
     algebraic (count, min, max) aggregate decides every group — no
     sort, no window, no per-group materialized set. Duplicate indices
     are the ``unique`` family's contract, not this one's (contiguity is
     evaluated over distinct values so the two checks compose without
-    double-reporting)."""
+    double-reporting).
+
+    ``start=None`` anchors at each group's observed minimum instead of
+    a fixed origin — the COMPLETENESS form: "every period between the
+    group's first and last must be present" (e.g. ``contiguous(
+    "day_idx", over="source", start=None)`` finds sources with missing
+    ingest days). Offset starts are undetectable in this form by
+    definition; gaps still are."""
     return Constraint(
         f"contig:{idx_col}/{over}", "contiguous",
-        {"idx_col": idx_col, "over": over, "start": int(start),
+        {"idx_col": idx_col, "over": over,
+         "start": int(start) if start is not None else None,
+         "max_rate": max_rate},
+    )
+
+
+def functional_dependency(
+    determinant: list[str], dependent: str, max_rate: float = 0.0,
+) -> Constraint:
+    """``determinant -> dependent``: every distinct determinant key
+    must map to exactly ONE dependent value — the denormalization
+    invariant behind "a conversation has one model / one language / one
+    source file" that neither uniqueness (keys may repeat) nor RI (the
+    value may be in-vocabulary yet inconsistent) can see. The reference
+    enforces the same single-source discipline when it refuses to merge
+    temp files whose records would collide a custom_id across groups
+    (ChronoMiner ``modules/batch/ops.py:85`` collision guard).
+
+    A null dependent counts as a value: a key mapping to {x, null} IS
+    inconsistent. Plan: one distinct pass over (partition, determinant,
+    dependent) — the exchange hashes the FULL tuple, so a hot key's
+    rows spread across reducers (the dependent plays the salt's role,
+    same skew posture as :func:`contiguous`) — then an algebraic
+    per-key (count, min, max) aggregate; a key is bad iff it kept more
+    than one distinct dependent. min/max double as the violation
+    exemplars, so no second pass fetches values."""
+    return Constraint(
+        f"fd:{','.join(determinant)}->{dependent}", "functional_dependency",
+        {"determinant": list(determinant), "dependent": dependent,
          "max_rate": max_rate},
     )
 
@@ -221,8 +257,9 @@ def conversation_shape(
     never speaks twice in a row). The reference enforces the analogous
     discipline on its chunk streams — responses must interleave with
     requests in order before a merge is accepted (ChronoMiner
-    ``modules/operations/merge.py`` order discipline;
-    ``modules/llm/batch.py`` request/response pairing).
+    ``modules/extract/batch_output.py:280-284`` record-order
+    discipline; ``modules/batch/ops.py`` custom_id request/response
+    pairing).
 
     Each check is optional (``None`` = don't check). Violations are the
     offending TURNS (first / last / transition target) with the broken

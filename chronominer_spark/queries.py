@@ -2954,7 +2954,9 @@ def q57_contiguity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``contiguous("turn_idx", over="conv_id")`` asserts a conversation's
     turns are exactly 1..n with no gaps (the reference refuses to merge
     chunk sets with missing indices: ChronoMiner
-    modules/operations/merge.py order discipline). The audited plan is
+    modules/extract/batch_output.py:280-284 chunk-index order
+    discipline; modules/extract/resume.py failed-chunk ledger). The
+    audited plan is
     one distinct pass — the exchange hashes the full (group, idx) pair,
     so a hot group spreads across reducers, skew-proof without a salt
     stage — plus an algebraic per-group (count, min, max) aggregate; no
@@ -3130,8 +3132,8 @@ def q60_conversation_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     must follow an allowed edge (``system>user``, ``user>assistant``,
     ``assistant>user``). The reference enforces the analogous
     request/response interleave discipline before accepting a merge
-    (ChronoMiner modules/operations/merge.py; modules/llm/batch.py
-    pairing).
+    (ChronoMiner modules/extract/batch_output.py:280-284 record
+    ordering; modules/batch/ops.py custom_id pairing).
 
     Planting harness: events become transcripts (conv = user_id, turns
     ordered by (ts, event_id)) with perfectly alternating roles, then
@@ -3441,7 +3443,8 @@ def q63_validation_regression_diff(spark: SparkSession, sf_dir: str) -> DataFram
     new), shape PERSISTING with its violation-count delta (both runs
     break edges, differently), not_null STABLE. The reference's
     operational twin is its failed-set reconciliation between retry
-    ledgers (ChronoMiner modules/operations/retry.py). Result tables
+    ledgers (ChronoMiner modules/extract/resume.py failed_chunks;
+    modules/extract/batch_output.py:180 failed-chunk sets). Result tables
     are O(partitions x constraints), so the diff join is broadcast-size
     at any data scale."""
     from chronominer_spark.constraints.engine import SuiteEvaluator
@@ -3895,6 +3898,152 @@ FROM cls GROUP BY pid
 """
 
 
+def q68_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit driven through the ENGINE
+    (SuiteEvaluator.evaluate with the round-5 ``functional_dependency``
+    family; engine path pytest-verified in test_suite_engine):
+    ``account -> plan`` asserts every account maps to ONE plan — the
+    denormalization invariant uniqueness and RI cannot see (the
+    reference's analogous single-source discipline is its custom_id
+    collision guard, ChronoMiner modules/batch/ops.py:85).
+
+    Planting harness: account = user_id % 500 with plan derived from
+    the account (consistent by construction); every event of a
+    user_id % 37 == 0 user whose event_id % 5 == 0 gets plan
+    'override' instead, so exactly the accounts owning such events
+    become inconsistent. The oracle recomputes the engine's violation
+    rows — partition lineage, determinant key, exemplar detail string
+    — in plain SQL. Plan shape: one distinct pass hashing the full
+    (partition, account, plan) tuple (skew-proof, the dependent is the
+    salt), then an algebraic per-key aggregate; min/max exemplars ride
+    the same pass, no value re-fetch."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite,
+        functional_dependency,
+    )
+
+    e = t(spark, sf_dir, "events")
+    frame = e.select(
+        (F.col("user_id") % 500).alias("account"),
+        F.when((F.col("user_id") % 37 == 0) & (F.col("event_id") % 5 == 0),
+               F.lit("override"))
+        .otherwise(F.element_at(
+            F.array(F.lit("free"), F.lit("pro"), F.lit("team")),
+            ((F.col("user_id") % 500) % 3 + 1).cast("int")))
+        .alias("plan"),
+        (F.col("user_id") % 4).cast("int").alias("pbucket"),
+    )
+    suite = ConstraintSuite(
+        name="fd_audit",
+        constraints=(functional_dependency(["account"], "plan"),))
+    _, vio = SuiteEvaluator(spark, suite).evaluate(frame)
+    return vio.select("partition_id", "constraint_id", "value", "detail")
+
+
+_Q68_SQL = """
+WITH base AS (
+  SELECT user_id % 4 AS pb, user_id % 500 AS account,
+         CASE WHEN user_id % 37 = 0 AND event_id % 5 = 0 THEN 'override'
+              ELSE ['free','pro','team'][((user_id % 500) % 3 + 1)::INT]
+         END AS plan
+  FROM events),
+d AS (SELECT DISTINCT pb, account, plan FROM base),
+g AS (SELECT pb, account, count(*)::BIGINT AS n_dep,
+             min(plan) AS lo, max(plan) AS hi
+      FROM d GROUP BY 1, 2)
+SELECT 'conv_bucket=' || pb::VARCHAR AS partition_id,
+       'fd:account->plan' AS constraint_id,
+       account::VARCHAR AS value,
+       'n_dependents=' || n_dep::VARCHAR || ' eg=' || lo || '..' || hi
+         AS detail
+FROM g WHERE n_dep > 1
+"""
+
+
+def q69_calendar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-calendar completeness through the ENGINE: the round-5
+    ``contiguous(..., start=None)`` form anchors each group at its own
+    first period, so "every day between a source's first and last
+    ingest day must be present" becomes the same one-distinct-pass +
+    algebraic-aggregate plan as turn contiguity — no calendar dim, no
+    sequence explode, no window (the reference's analog is its coverage
+    metadata: a chunk-range set with holes refuses to convert,
+    modules/extract/batch_output.py:294-300 failed/covered sets).
+
+    Planting harness: per (user-bucket, event_type) the synthetic
+    events cover a contiguous 30-day span; deleting all 'click' events
+    on days ≡ 5 (mod 11) and all 'error' events on days ≡ 3 (mod 7)
+    punches holes in exactly those groups' calendars. Day indexing is
+    epoch-days (ts cast long / 86400 — the repo's pinned-UTC epoch
+    convention), identically computable in DuckDB."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, contiguous
+
+    e = t(spark, sf_dir, "events")
+    frame = e.select(
+        "event_type",
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+        .alias("day_idx"),
+        (F.col("user_id") % 4).cast("int").alias("pbucket"),
+    ).where(~(
+        ((F.col("event_type") == "click") & (F.col("day_idx") % 11 == 5))
+        | ((F.col("event_type") == "error") & (F.col("day_idx") % 7 == 3))))
+    suite = ConstraintSuite(
+        name="calendar",
+        constraints=(contiguous("day_idx", over="event_type", start=None),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(frame)
+    return (
+        res.select("partition_id", "constraint_id",
+                   F.round("observed", 6).alias("observed"),
+                   "rows_checked", "violation_count", "passed")
+        .unionByName(
+            # violating group names ride as extra rows; -1 sentinels
+            # (not NULLs) keep the value-hash engine-independent
+            vio.select(
+                "partition_id",
+                F.concat(F.col("constraint_id"), F.lit("@"), F.col("value"))
+                .alias("constraint_id"),
+                F.lit(-1.0).alias("observed"),
+                F.lit(-1).cast("long").alias("rows_checked"),
+                F.lit(-1).cast("long").alias("violation_count"),
+                F.lit(False).alias("passed")))
+    )
+
+
+_Q69_SQL = """
+WITH base AS (
+  SELECT user_id % 4 AS pb, event_type,
+         floor(epoch(ts) / 86400)::BIGINT AS day_idx
+  FROM events),
+cur AS (
+  SELECT * FROM base
+  WHERE NOT ((event_type = 'click' AND day_idx % 11 = 5)
+          OR (event_type = 'error' AND day_idx % 7 = 3))),
+d AS (SELECT DISTINCT pb, event_type, day_idx FROM cur),
+g AS (SELECT pb, event_type, count(*)::BIGINT AS n,
+             min(day_idx) AS lo, max(day_idx) AS hi
+      FROM d GROUP BY 1, 2),
+res AS (
+  SELECT 'conv_bucket=' || pb::VARCHAR AS partition_id,
+         'contig:day_idx/event_type' AS constraint_id,
+         round(sum(CASE WHEN hi <> lo + n - 1 THEN 1 ELSE 0 END)
+               * 1.0 / count(*), 6) AS observed,
+         sum(n)::BIGINT AS rows_checked,
+         sum(CASE WHEN hi <> lo + n - 1 THEN 1 ELSE 0 END)::BIGINT
+           AS violation_count,
+         sum(CASE WHEN hi <> lo + n - 1 THEN 1 ELSE 0 END) = 0 AS passed
+  FROM g GROUP BY 1),
+vio AS (
+  SELECT 'conv_bucket=' || pb::VARCHAR AS partition_id,
+         'contig:day_idx/event_type@' || event_type AS constraint_id,
+         -1.0 AS observed, (-1)::BIGINT AS rows_checked,
+         (-1)::BIGINT AS violation_count, FALSE AS passed
+  FROM g WHERE hi <> lo + n - 1)
+SELECT * FROM res UNION ALL SELECT * FROM vio
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -3963,6 +4112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_streaming_shape_validation": q65_streaming_shape_validation,
     "q66_text_equality_audit": q66_text_equality_audit,
     "q67_text_equality_digest": q67_text_equality_digest,
+    "q68_functional_dependency": q68_functional_dependency,
+    "q69_calendar_completeness": q69_calendar_completeness,
 }
 
 ORACLES: dict[str, str] = {
@@ -4033,6 +4184,8 @@ ORACLES: dict[str, str] = {
     "q65_streaming_shape_validation": _Q65_SQL,
     "q66_text_equality_audit": _Q66_SQL,
     "q67_text_equality_digest": _Q66_SQL,
+    "q68_functional_dependency": _Q68_SQL,
+    "q69_calendar_completeness": _Q69_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

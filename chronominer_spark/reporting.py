@@ -1,9 +1,10 @@
 """Cross-run reporting over the engine's result tables.
 
 The reference surfaces "what changed since the last run" by diffing its
-batch logs and retry ledgers (ChronoMiner ``modules/operations/
-retry.py`` failed-set reconciliation; ``modules/infra/jsonl.py`` replay
-headers); for a validation engine the operational twin is a REGRESSION
+batch logs and retry ledgers (ChronoMiner
+``modules/extract/resume.py`` failed-chunk ledger;
+``modules/extract/batch_output.py:180`` failed-chunk sets;
+``modules/infra/jsonl.py`` replay headers); for a validation engine the operational twin is a REGRESSION
 DIFF between two snapshots' per-partition result rows: which
 (partition, constraint) verdicts newly fail, which resolved, which
 persist, and how the violation counts moved.

@@ -139,8 +139,9 @@ def conversation_shape_stream(
     incrementally as turns arrive in micro-batches, keyed by
     conversation with explicit GroupState — the ST-family pattern the
     reference applies to its request/response interleave discipline
-    (ChronoMiner modules/llm/batch.py pairing; modules/operations/
-    merge.py order discipline), re-expressed as
+    (ChronoMiner modules/batch/ops.py custom_id pairing;
+    modules/extract/batch_output.py:280-284 order discipline),
+    re-expressed as
     ``applyInPandasWithState``.
 
     Contract: per conversation, batches must arrive in turn order

@@ -933,3 +933,72 @@ def test_ref_requiring_constraints_without_ref_raise_loudly(spark, transcripts):
         res, _ = ev.evaluate(transcripts, transcripts, snapshot_id=1)
         assert res.where(F.col("constraint_id") == bad.constraint_id).count() > 0
         ev.unpersist_all()
+
+
+def test_functional_dependency_flags_inconsistent_keys(spark):
+    """functional_dependency(["account"], "plan"): a determinant key
+    mapping to >1 distinct dependent value violates; a null dependent
+    counts as a value ({x, null} is inconsistent, {null} alone is
+    consistent); composite determinants work; exemplars ride in the
+    violation detail."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, functional_dependency)
+
+    cur = spark.createDataFrame(
+        [("a1", "gold", 1), ("a1", "gold", 1),            # consistent
+         ("a2", "gold", 1), ("a2", "free", 1),            # two values
+         ("a3", None, 1), ("a3", None, 1),                # {null}: ok
+         ("a4", "gold", 1), ("a4", None, 1)],             # {gold,null}: bad
+        "account string, plan string, pbucket int",
+    )
+    suite = ConstraintSuite(
+        name="fd",
+        constraints=(functional_dependency(["account"], "plan"),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(cur)
+    r = res.collect()[0]
+    assert r["constraint_id"] == "fd:account->plan"
+    assert r["violation_count"] == 2 and not r["passed"]
+    assert r["rows_checked"] == 6                          # distinct pairs
+    bad = {v["value"]: v["detail"] for v in vio.collect()}
+    assert bad == {"a2": "n_dependents=2 eg=free..gold",
+                   "a4": "n_dependents=2 eg=gold..gold+null"}
+    assert all(v["column"] == "plan" for v in vio.collect())
+
+    # composite determinant: (account, region) -> plan
+    cur2 = spark.createDataFrame(
+        [("a1", "eu", "gold", 1), ("a1", "us", "free", 1),   # per-region ok
+         ("a2", "eu", "gold", 1), ("a2", "eu", "free", 1)],  # bad
+        "account string, region string, plan string, pbucket int")
+    suite2 = ConstraintSuite(
+        name="fd2",
+        constraints=(functional_dependency(["account", "region"], "plan"),))
+    res2, vio2 = SuiteEvaluator(spark, suite2).evaluate(cur2)
+    assert res2.collect()[0]["violation_count"] == 1
+    v2 = vio2.collect()[0]
+    assert v2["value"] == "a2,eu" and v2["column"] == "plan"
+
+
+def test_contiguous_start_none_completeness_form(spark):
+    """contiguous(..., start=None) anchors at each group's observed
+    minimum: gaps violate, offset starts do not (undetectable without
+    an origin by definition); all-null groups still violate."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import ConstraintSuite, contiguous
+
+    cur = spark.createDataFrame(
+        [("offset", i, 1) for i in (5, 6, 7)]       # starts at 5: OK here
+        + [("gap", i, 1) for i in (10, 11, 13)]     # missing 12: violation
+        + [("allnull", None, 1)],
+        "conv_id string, turn_idx int, pbucket int",
+    )
+    suite = ConstraintSuite(
+        name="complete",
+        constraints=(contiguous("turn_idx", over="conv_id", start=None),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(cur)
+    r = res.collect()[0]
+    assert r["violation_count"] == 2 and not r["passed"]
+    bad = {v["conv_id"]: v["detail"] for v in vio.collect()}
+    assert set(bad) == {"gap", "allnull"}
+    assert bad["gap"] == "distinct=3 min=10 max=13 expected=10..12"
+    assert bad["allnull"] == "distinct=1 min=null max=null expected=null..null"
