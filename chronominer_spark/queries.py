@@ -4044,6 +4044,66 @@ SELECT * FROM res UNION ALL SELECT * FROM vio
 """
 
 
+def q70_partition_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust cross-partition anomaly screen
+    (reporting.flag_partition_outliers): per-partition mean event value
+    judged against the fleet MEDIAN with a k x MAD band — median/MAD
+    because the hunted outlier would poison a mean/stddev baseline.
+    Planting harness: 20 user-buckets, bucket 7's values tripled; the
+    screen must flag exactly bucket 7 (and any naturally-extreme
+    bucket the oracle also finds). The per-bucket mean uses the repo's
+    associative-exact integral-millionths trick (sum of
+    round(value*1e6) longs, divided once), so the metric — and hence
+    the exact median/MAD — is bitwise engine-independent. Input to the
+    screen is O(partitions) rows; the percentile aggregates are exact
+    and cost nothing at any data scale."""
+    from chronominer_spark.reporting import flag_partition_outliers
+
+    e = t(spark, sf_dir, "events")
+    metrics = (
+        e.select(
+            (F.col("user_id") % 20).alias("bucket"),
+            (F.round(
+                F.when(F.col("user_id") % 20 == 7,
+                       F.col("value") * 3).otherwise(F.col("value"))
+                * 1e6)).cast("long").alias("v6"))
+        .where(F.col("v6").isNotNull())
+        .groupBy("bucket")
+        .agg((F.sum("v6") / F.count(F.lit(1)) / 1e6).alias("mean_value"))
+        .select(F.format_string("bucket=%d", F.col("bucket"))
+                .alias("partition_id"),
+                F.lit("stats:value_mean").alias("constraint_id"),
+                "mean_value")
+    )
+    out = flag_partition_outliers(
+        metrics, metric="mean_value", by=["constraint_id"], k=3.0)
+    return out.select(
+        "constraint_id", "partition_id",
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("fleet_median", 6).alias("fleet_median"),
+        F.round("fleet_mad", 6).alias("fleet_mad"),
+        "is_outlier")
+
+
+_Q70_SQL = """
+WITH m AS (
+  SELECT 'bucket=' || (user_id % 20)::VARCHAR AS partition_id,
+         sum(round((CASE WHEN user_id % 20 = 7 THEN value * 3
+                         ELSE value END) * 1e6)::BIGINT)
+           * 1.0 / count(*) / 1e6 AS mean_value
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+med AS (SELECT quantile_cont(mean_value, 0.5) AS fleet_median FROM m),
+mad AS (SELECT quantile_cont(abs(mean_value - fleet_median), 0.5)
+          AS fleet_mad FROM m, med)
+SELECT 'stats:value_mean' AS constraint_id, partition_id,
+       round(mean_value, 6) AS mean_value,
+       round(fleet_median, 6) AS fleet_median,
+       round(fleet_mad, 6) AS fleet_mad,
+       abs(mean_value - fleet_median) > 3.0 * fleet_mad AS is_outlier
+FROM m, med, mad
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -4114,6 +4174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_text_equality_digest": q67_text_equality_digest,
     "q68_functional_dependency": q68_functional_dependency,
     "q69_calendar_completeness": q69_calendar_completeness,
+    "q70_partition_outliers": q70_partition_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -4186,6 +4247,7 @@ ORACLES: dict[str, str] = {
     "q67_text_equality_digest": _Q66_SQL,
     "q68_functional_dependency": _Q68_SQL,
     "q69_calendar_completeness": _Q69_SQL,
+    "q70_partition_outliers": _Q70_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

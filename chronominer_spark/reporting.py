@@ -68,3 +68,51 @@ def diff_validation_results(prev: DataFrame, cur: DataFrame) -> DataFrame:
          - F.coalesce("violations_prev", F.lit(0))).cast("long")
         .alias("violations_delta"),
     )
+
+
+def flag_partition_outliers(
+    metrics: DataFrame,
+    metric: str = "observed",
+    by: list[str] | None = None,
+    partition_col: str = "partition_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust cross-partition anomaly screen: within each ``by`` group
+    (default: per constraint), flag partitions whose ``metric``
+    deviates from the fleet MEDIAN by more than ``k`` x MAD (median
+    absolute deviation). Median/MAD instead of mean/stddev because the
+    outliers being hunted would poison the baseline they are judged
+    against — one sick partition inflates a stddev enough to hide
+    itself, but moves the median of a fleet not at all.
+
+    The reference's nearest analog is its end-of-run per-file outcome
+    tally (``main/process_text_files.py:684-790`` complete / partial /
+    failed counts); this screen EXTENDS that idea to soft anomalies —
+    a partition can pass every hard threshold yet sit far outside the
+    fleet's metric distribution, and that is worth a look before it
+    becomes a failure. The input here is the engine's RESULTS table — O(partitions x constraints)
+    rows, orders below the validated data — so two exact ``percentile``
+    aggregations over the tiny frame cost nothing and no row-level data
+    is touched. MAD = 0 (a perfectly uniform fleet) flags ANY deviation,
+    the strictest consistent reading.
+
+    Output: ``by`` + partition + metric value, ``fleet_median``,
+    ``fleet_mad``, ``abs_dev``, ``is_outlier``.
+    """
+    by = list(by) if by is not None else ["constraint_id"]
+    med = metrics.groupBy(*by).agg(
+        F.expr(f"percentile({metric}, 0.5)").alias("fleet_median"))
+    j = metrics.join(med, by)
+    mad = j.groupBy(*by).agg(
+        F.expr(f"percentile(abs({metric} - fleet_median), 0.5)")
+        .alias("fleet_mad"))
+    return (
+        j.join(mad, by)
+        .select(
+            *by, partition_col, F.col(metric),
+            "fleet_median", "fleet_mad",
+            F.abs(F.col(metric) - F.col("fleet_median")).alias("abs_dev"),
+            (F.abs(F.col(metric) - F.col("fleet_median"))
+             > F.lit(k) * F.col("fleet_mad")).alias("is_outlier"),
+        )
+    )

@@ -736,3 +736,26 @@ def test_interval_join_auto_bucket_width(spark):
     pts, ivs = mk(5)
     assert interval_join(pts, ivs.where("lo < 0"), on=["k"], point_val="v",
                          interval_cols=["name"]).count() == 0
+
+
+def test_flag_partition_outliers_median_mad(spark):
+    """flag_partition_outliers: the planted outlier is flagged against
+    the fleet median (which it cannot poison); a uniform fleet
+    (MAD = 0) flags ANY deviation; grouping is per constraint."""
+    from chronominer_spark.reporting import flag_partition_outliers
+
+    rows = ([("c1", f"p{i}", 10.0 + (i % 3) * 0.5) for i in range(9)]
+            + [("c1", "p9", 99.0)]                    # the sick partition
+            + [("c2", f"p{i}", 5.0) for i in range(9)]
+            + [("c2", "p9", 5.1)])                    # uniform fleet, MAD=0
+    df = spark.createDataFrame(
+        rows, "constraint_id string, partition_id string, observed double")
+    got = {(r["constraint_id"], r["partition_id"]): r
+           for r in flag_partition_outliers(df, k=3.0).collect()}
+    assert got[("c1", "p9")]["is_outlier"]
+    assert not any(v["is_outlier"] for k, v in got.items()
+                   if k[0] == "c1" and k[1] != "p9")
+    assert got[("c1", "p9")]["fleet_median"] == 10.5   # unmoved by the outlier
+    # MAD=0: the strict reading — any deviation is an outlier
+    assert got[("c2", "p9")]["is_outlier"] and got[("c2", "p9")]["fleet_mad"] == 0.0
+    assert not got[("c2", "p0")]["is_outlier"]
