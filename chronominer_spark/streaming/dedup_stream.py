@@ -340,3 +340,103 @@ class IncrementalHeavyHitters:
             .select("item", F.col("cnt").alias("est_count")),
             int(total),
         )
+
+
+class IncrementalFDAudit:
+    """Streaming twin of the ``functional_dependency`` constraint
+    family (``constraints/engine.py:_functional_dependency``):
+    determinant → dependent consistency maintained ACROSS
+    micro-batches. A key that saw 'gold' in batch 1 and 'free' in
+    batch 40 is inconsistent, whatever order the batches came in.
+
+    The batch family's verdict "more than one distinct dependent" is
+    re-expressed through a MERGEABLE witness: ``(min, max, has_null)``
+    of the dependent per key — a key is inconsistent iff
+    ``min != max`` OR (``has_null`` AND ``min IS NOT NULL``). Proving
+    ">1 distinct" needs only two differing witnesses, and the extremes
+    plus the null flag always contain two when two exist — so no
+    distinct-count sketch and no value set is kept. min/max/or/sum are
+    associative + commutative, so the folded state is IDENTICAL to the
+    batch family over the concatenated input (pytest-asserted for a
+    3-way split).
+
+    State is one row per distinct determinant key — O(keys), never
+    O(rows) — committed through :class:`SnapshotTable`'s atomic
+    pointer flip with replayed batch ids skipped (ST6), and each batch
+    rewrites ONLY the key-hash buckets it touches (the same
+    Iceberg-MERGE-manifest analog as :class:`IncrementalExactDedup`).
+    """
+
+    def __init__(self, spark: SparkSession, state_root: str,
+                 determinant: list[str], dependent: str,
+                 n_buckets: int = 16):
+        self.spark = spark
+        self.table = SnapshotTable(spark, state_root)
+        self.det = list(determinant)
+        self.dep = dependent
+        self.n_buckets = n_buckets
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        d = F.col(self.dep).cast("string")
+        return (
+            batch_df.select(*self.det, d.alias("__dep"))
+            .groupBy(*self.det)
+            .agg(F.min("__dep").alias("__lo"),
+                 F.max("__dep").alias("__hi"),
+                 F.max(F.col("__dep").isNull()).alias("__has_null"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("__bucket",
+                        F.pmod(F.xxhash64(*self.det), F.lit(self.n_buckets)))
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        op = f"fd_batch={batch_id}"
+        if any(s.operation == op for s in self.table.snapshots()):
+            return
+        partial = self._partial(batch_df).localCheckpoint(eager=True)
+        if self.table.exists():
+            touched = [r["__bucket"] for r in
+                       partial.select("__bucket").distinct().collect()]
+            state_touched = self.table.read().where(
+                F.col("__bucket").isin(touched))
+            merged = (
+                state_touched.unionByName(partial)
+                .groupBy(*self.det)
+                .agg(F.min("__lo").alias("__lo"),
+                     F.max("__hi").alias("__hi"),
+                     F.max("__has_null").alias("__has_null"),
+                     F.sum("n_rows").alias("n_rows"),
+                     F.first("__bucket").alias("__bucket"))
+            )
+            self.table.write_snapshot_partial(
+                merged, "__bucket", touched, operation=op)
+        else:
+            self.table.write_snapshot(partial, partition_by=["__bucket"],
+                                      operation=op)
+
+    def attach(self, stream_df: DataFrame,
+               checkpoint_dir: str) -> StreamingQuery:
+        return (
+            stream_df.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def result(self) -> DataFrame:
+        """Per-key audit rows: determinant columns, ``n_rows`` seen,
+        ``inconsistent`` verdict, and the min/max exemplars — the same
+        witnesses the batch family puts in its violation detail."""
+        s = self.table.read()
+        return s.select(
+            *self.det, "n_rows",
+            # eqNullSafe: an all-null key has lo = hi = null, which is
+            # ONE distinct value (consistent) — plain != would return
+            # null here and poison the boolean
+            ((~F.col("__lo").eqNullSafe(F.col("__hi")))
+             | (F.col("__has_null") & F.col("__lo").isNotNull()))
+            .alias("inconsistent"),
+            F.col("__lo").alias("dep_min"), F.col("__hi").alias("dep_max"),
+            F.col("__has_null").alias("dep_has_null"),
+        )

@@ -490,3 +490,59 @@ def test_incremental_heavy_hitters_contract_across_batches(spark, tmp_path):
     before = inc.table.current_snapshot_id()
     inc.process_batch(full.limit(50), 0)
     assert inc.table.current_snapshot_id() == before
+
+
+def test_incremental_fd_audit_matches_batch_family(spark, tmp_path):
+    """Streaming twin of the functional_dependency family: the same
+    frame split into 3 micro-batches and folded through the mergeable
+    (min, max, has_null) witness state must reach EXACTLY the batch
+    family's per-key verdicts — including keys whose inconsistency is
+    only visible ACROSS batches — and a replayed batch id is a no-op."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, functional_dependency)
+    from chronominer_spark.streaming.dedup_stream import IncrementalFDAudit
+
+    # key plans: a1 consistent; a2 inconsistent WITHIN batch 0;
+    # a3 inconsistent only ACROSS batches (gold in b0, free in b2);
+    # a4 {null} only (consistent); a5 {x, null} across batches (bad)
+    rows = [("a1", "gold", 0), ("a1", "gold", 1), ("a1", "gold", 2),
+            ("a2", "gold", 0), ("a2", "free", 0),
+            ("a3", "gold", 0), ("a3", "free", 2),
+            ("a4", None, 0), ("a4", None, 1),
+            ("a5", "pro", 1), ("a5", None, 2)]
+    full = spark.createDataFrame(rows, "account string, plan string, b int")
+
+    src = str(tmp_path / "fd_stream")
+    for i in range(3):
+        (full.where(F.col("b") == i).drop("b")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    inc = IncrementalFDAudit(
+        spark, str(tmp_path / "fd_state"), ["account"], "plan")
+    stream = (spark.readStream.schema("account string, plan string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = inc.attach(stream, str(tmp_path / "fd_ckpt"))
+    q.awaitTermination()
+    assert len(inc.table.snapshots()) == 3
+
+    got = {r["account"]: r for r in inc.result().collect()}
+    assert {k for k, r in got.items() if r["inconsistent"]} == {
+        "a2", "a3", "a5"}
+    assert got["a3"]["dep_min"] == "free" and got["a3"]["dep_max"] == "gold"
+    assert got["a4"]["dep_has_null"] and not got["a4"]["inconsistent"]
+    assert got["a1"]["n_rows"] == 3
+
+    # the batch family over the concatenated input agrees key-for-key
+    suite = ConstraintSuite(
+        name="fd_twin",
+        constraints=(functional_dependency(["account"], "plan"),))
+    _, vio = SuiteEvaluator(spark, suite).evaluate(
+        full.withColumn("pbucket", F.lit(1)))
+    batch_bad = {r["value"] for r in vio.collect()}
+    assert batch_bad == {k for k, r in got.items() if r["inconsistent"]}
+
+    # replaying an already-committed batch id must not change the state
+    before = inc.table.current_snapshot_id()
+    inc.process_batch(full.drop("b").limit(4), 0)
+    assert inc.table.current_snapshot_id() == before
