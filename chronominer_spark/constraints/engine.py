@@ -326,6 +326,11 @@ class SuiteEvaluator:
                 results.append(r)
                 if with_violations:
                     violations.append(v)
+            elif c.kind == "group_agg_check":
+                r, v = self._group_agg_check(df, c)
+                results.append(r)
+                if with_violations:
+                    violations.append(v)
             elif c.kind == "conversation_shape":
                 r, v = self._conversation_shape(df, c)
                 results.append(r)
@@ -341,6 +346,17 @@ class SuiteEvaluator:
                 results.append(self._schema_match(df, c))
             elif c.kind == "row_count_drift":
                 results.append(self._row_count_drift(df, ref, c))
+            elif not (c.kind in ("column_stats", "quantiles",
+                                 "drift_psi", "drift_ks")
+                      or (c.kind in ROW_LEVEL_KINDS and self._fusable(c))):
+                # those four + fusable row checks are evaluated by the
+                # fused pre-loop scans; anything else is a typo'd or
+                # future kind and must FAIL LOUDLY — a silently-skipped
+                # constraint reads as all-pass (same hazard class as
+                # the round-4 ref_df ADVICE)
+                raise ValueError(
+                    f"unknown constraint kind {c.kind!r} "
+                    f"({c.constraint_id})")
 
         if drift_cs:
             results.extend(self._drift_family(
@@ -984,6 +1000,73 @@ class SuiteEvaluator:
                     F.coalesce(
                         (F.col("__n") + start_col - F.lit(1)).cast("string"),
                         F.lit("null")),
+                ).alias("detail"),
+            )
+        )
+        return res, vio
+
+    # -- per-group aggregate bound ---------------------------------------------
+    def _group_agg_check(
+        self, df: DataFrame, c: Constraint
+    ) -> tuple[DataFrame, DataFrame]:
+        """Per-group aggregate bound (spec rationale at
+        :func:`~chronominer_spark.constraints.spec.group_agg_check`).
+        ONE groupBy(partition, group) hash-aggregate evaluates the
+        author's aggregate expression and the group's row count in the
+        same pass — built-in algebraic aggregates combine map-side —
+        then an algebraic per-partition rollup. A null aggregate value
+        cannot certify the bound and violates (the expr_check null
+        discipline)."""
+        p = c.params
+        group_col, lo, hi = p["group_col"], p["lo"], p["hi"]
+        g = df.groupBy("_pid", group_col).agg(
+            F.expr(p["agg_expr"]).alias("__v"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        ok = F.lit(True)
+        if lo is not None:
+            ok = ok & (F.col("__v") >= F.lit(lo))
+        if hi is not None:
+            ok = ok & (F.col("__v") <= F.lit(hi))
+        bad_pred = ~F.coalesce(ok, F.lit(False))
+        base = g.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("__n").alias("rows_checked"),
+            F.sum(bad_pred.cast("long")).alias("violation_count"),
+        )
+        res = (
+            base.select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                (F.col("violation_count") / F.col("n_groups"))
+                .cast("double").alias("observed"),
+                F.lit(p.get("max_rate", 0.0)).cast("double")
+                .alias("threshold"),
+                "rows_checked",
+                F.col("violation_count").cast("long")
+                .alias("violation_count"),
+            )
+            .withColumn("passed", F.col("observed") <= F.col("threshold"))
+        )
+        key_cols = list(self.suite.key_cols)
+        vio = (
+            g.where(bad_pred)
+            .select(
+                F.col("_pid").alias("partition_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                *[
+                    (F.col(group_col) if k == group_col else F.lit(None))
+                    .alias(k)
+                    for k in key_cols
+                ],
+                F.lit(p["agg_expr"]).alias("column"),
+                self._sval(F.col(group_col)).alias("value"),
+                F.format_string(
+                    "agg=%s rows=%s bounds=[%s, %s]",
+                    F.coalesce(F.col("__v").cast("string"), F.lit("null")),
+                    F.col("__n").cast("string"),
+                    F.lit("-inf" if lo is None else repr(lo)),
+                    F.lit("inf" if hi is None else repr(hi)),
                 ).alias("detail"),
             )
         )

@@ -213,6 +213,42 @@ def contiguous(idx_col: str, over: str, start: int | None = 1,
     )
 
 
+def group_agg_check(
+    name: str,
+    group_col: str,
+    agg_expr: str,
+    lo: float | None = None,
+    hi: float | None = None,
+    max_rate: float = 0.0,
+) -> Constraint:
+    """Per-group aggregate bound: ``agg_expr`` — any SQL AGGREGATE
+    expression over the group's rows (``sum(est_tokens)``,
+    ``avg(length(text))``, ``count(distinct role)``) — must lie in
+    ``[lo, hi]`` (either side optional) for every ``group_col`` group.
+    The group-level budget invariant the row families can't express:
+    every TURN can pass ``in_range`` while the CONVERSATION blows its
+    token budget. The reference enforces its analogous per-chunk token
+    ceiling when slicing documents
+    (``modules/line_ranges/generator.py:17-43`` tokens-per-chunk
+    budget); at cluster scale the same contract is one hash-aggregate
+    per group.
+
+    A null aggregate (e.g. ``avg`` of all-null values) cannot certify
+    the bound and counts as a violation — the same null discipline as
+    :func:`expr_check` and :func:`contiguous`. ``name`` keys the
+    constraint id so the same expression can appear under different
+    bounds. Plan: ONE groupBy(partition, group) hash-aggregate —
+    Spark's partial aggregation combines map-side for the built-in
+    algebraic aggregates — plus a per-partition algebraic rollup;
+    violations are the offending groups with the observed aggregate in
+    the detail."""
+    return Constraint(
+        f"agg:{name}/{group_col}", "group_agg_check",
+        {"name": name, "group_col": group_col, "agg_expr": agg_expr,
+         "lo": lo, "hi": hi, "max_rate": max_rate},
+    )
+
+
 def functional_dependency(
     determinant: list[str], dependent: str, max_rate: float = 0.0,
 ) -> Constraint:

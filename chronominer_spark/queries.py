@@ -4104,6 +4104,89 @@ FROM m, med, mad
 """
 
 
+def q71_token_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation token-budget audit through the ENGINE (the
+    round-5 ``group_agg_check`` family): every turn can individually
+    pass ``in_range`` while the conversation blows its budget — the
+    group-level invariant the row families cannot express (the
+    reference's per-chunk tokens-per-chunk ceiling,
+    modules/line_ranges/generator.py:17-43, as a declarative
+    constraint).
+
+    Planting harness: conv = user_id, est_tokens = 50 + event_id % 100
+    (so a conversation's mean token load lies in [50, 150) by
+    construction); conversations of user_id % 41 == 0 are inflated
+    10x, pushing their mean into [500, 1500). The bound
+    ``avg(est_tokens) <= 400`` therefore separates planted from clean
+    EXACTLY at every scale factor — no calibration, no boundary risk.
+    The mean is an exact-int sum over an exact-int count (one IEEE
+    division, bit-identical across engines); the oracle recomputes the
+    engine's result rows and the flagged conversation set. Plan: ONE
+    groupBy(partition, conv) hash-aggregate (map-side combined) + an
+    algebraic per-partition rollup."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite,
+        group_agg_check,
+    )
+
+    e = t(spark, sf_dir, "events")
+    frame = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.when(F.col("user_id") % 41 == 0, 10).otherwise(1)
+         * (F.lit(50) + F.col("event_id") % 100)).alias("est_tokens"),
+        (F.col("user_id") % 4).cast("int").alias("pbucket"),
+    )
+    suite = ConstraintSuite(
+        name="tok_budget",
+        constraints=(group_agg_check(
+            "conv_tokens", "conv_id", "avg(est_tokens)", hi=400.0),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(frame)
+    return (
+        res.select("partition_id", "constraint_id",
+                   F.round("observed", 6).alias("observed"),
+                   "rows_checked", "violation_count", "passed")
+        .unionByName(
+            vio.select(
+                "partition_id",
+                F.concat(F.col("constraint_id"), F.lit("@"), F.col("value"))
+                .alias("constraint_id"),
+                F.lit(-1.0).alias("observed"),
+                F.lit(-1).cast("long").alias("rows_checked"),
+                F.lit(-1).cast("long").alias("violation_count"),
+                F.lit(False).alias("passed")))
+    )
+
+
+_Q71_SQL = """
+WITH base AS (
+  SELECT user_id % 4 AS pb, user_id::VARCHAR AS conv_id,
+         (CASE WHEN user_id % 41 = 0 THEN 10 ELSE 1 END)
+           * (50 + event_id % 100) AS est_tokens
+  FROM events),
+g AS (
+  SELECT pb, conv_id, avg(est_tokens) AS v, count(*)::BIGINT AS n
+  FROM base GROUP BY 1, 2),
+res AS (
+  SELECT 'conv_bucket=' || pb::VARCHAR AS partition_id,
+         'agg:conv_tokens/conv_id' AS constraint_id,
+         round(sum(CASE WHEN v > 400.0 THEN 1 ELSE 0 END)
+               * 1.0 / count(*), 6) AS observed,
+         sum(n)::BIGINT AS rows_checked,
+         sum(CASE WHEN v > 400.0 THEN 1 ELSE 0 END)::BIGINT
+           AS violation_count,
+         sum(CASE WHEN v > 400.0 THEN 1 ELSE 0 END) = 0 AS passed
+  FROM g GROUP BY 1),
+vio AS (
+  SELECT 'conv_bucket=' || pb::VARCHAR AS partition_id,
+         'agg:conv_tokens/conv_id@' || conv_id AS constraint_id,
+         -1.0 AS observed, (-1)::BIGINT AS rows_checked,
+         (-1)::BIGINT AS violation_count, FALSE AS passed
+  FROM g WHERE v > 400.0)
+SELECT * FROM res UNION ALL SELECT * FROM vio
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -4175,6 +4258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_functional_dependency": q68_functional_dependency,
     "q69_calendar_completeness": q69_calendar_completeness,
     "q70_partition_outliers": q70_partition_outliers,
+    "q71_token_budget_audit": q71_token_budget_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -4248,6 +4332,7 @@ ORACLES: dict[str, str] = {
     "q68_functional_dependency": _Q68_SQL,
     "q69_calendar_completeness": _Q69_SQL,
     "q70_partition_outliers": _Q70_SQL,
+    "q71_token_budget_audit": _Q71_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

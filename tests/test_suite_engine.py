@@ -1002,3 +1002,55 @@ def test_contiguous_start_none_completeness_form(spark):
     assert set(bad) == {"gap", "allnull"}
     assert bad["gap"] == "distinct=3 min=10 max=13 expected=10..12"
     assert bad["allnull"] == "distinct=1 min=null max=null expected=null..null"
+
+
+def test_group_agg_check_bounds_and_null_discipline(spark):
+    """group_agg_check: per-group aggregate bound — sum over budget
+    flagged, one-sided bounds work, a NULL aggregate (avg of all-null)
+    cannot certify and violates; the observed aggregate and bounds ride
+    in the violation detail."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, group_agg_check)
+
+    cur = spark.createDataFrame(
+        [("c1", 40, 1), ("c1", 50, 1),          # sum 90: ok
+         ("c2", 80, 1), ("c2", 70, 1),          # sum 150: over budget
+         ("c3", None, 1), ("c3", None, 1)],     # sum null: uncertifiable
+        "conv_id string, est_tokens int, pbucket int",
+    )
+    suite = ConstraintSuite(
+        name="budget",
+        constraints=(group_agg_check(
+            "tok_budget", "conv_id", "sum(est_tokens)", hi=100.0),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(cur)
+    r = res.collect()[0]
+    assert r["constraint_id"] == "agg:tok_budget/conv_id"
+    assert r["violation_count"] == 2 and not r["passed"]
+    assert r["rows_checked"] == 6
+    bad = {v["value"]: v["detail"] for v in vio.collect()}
+    assert bad["c2"] == "agg=150 rows=2 bounds=[-inf, 100.0]"
+    assert bad["c3"] == "agg=null rows=2 bounds=[-inf, 100.0]"
+
+    # lo-only: undersized groups flagged instead
+    suite_lo = ConstraintSuite(
+        name="budget_lo",
+        constraints=(group_agg_check(
+            "tok_floor", "conv_id", "sum(est_tokens)", lo=100.0),))
+    res_lo, vio_lo = SuiteEvaluator(spark, suite_lo).evaluate(cur)
+    assert {v["value"] for v in vio_lo.collect()} == {"c1", "c3"}
+
+
+def test_unknown_constraint_kind_raises(spark, transcripts):
+    """A typo'd or future constraint kind must fail loudly — falling
+    through the dispatch silently would read as all-pass."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        Constraint, ConstraintSuite, not_null)
+
+    suite = ConstraintSuite(
+        name="typo",
+        constraints=(not_null("role"),
+                     Constraint("bogus:x", "not_nul", {"col": "x"})))
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        SuiteEvaluator(spark, suite).evaluate(transcripts)
