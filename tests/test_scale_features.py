@@ -379,3 +379,36 @@ def test_plan_shape_heavy_hitters_stream_never_shuffles(spark):
     assert count_exchanges(hh) == 1, p          # final single-group merge only
     assert "MapInPandas" in p, p                # stream pass fused, not grouped
     assert p.count("FlatMapGroupsInPandas") == 1, p   # the final merge alone
+
+
+def test_plan_shape_fd_and_agg_check_no_window(spark):
+    """Round-5 families must stay hash-aggregate-only: no Window, no
+    Join anywhere in the result plans. functional_dependency is a
+    distinct pass + two algebraic aggregates (the distinct exchange
+    hashes the full (pid, det, dep) tuple — skew-proof);
+    group_agg_check is one groupBy(partition, group) aggregate + an
+    algebraic rollup."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, functional_dependency, group_agg_check)
+    from chronominer_spark.plans.inspect import physical_plan
+
+    df = spark.createDataFrame(
+        [(f"a{i % 7}", f"p{i % 3}", i, 1) for i in range(50)],
+        "account string, plan string, v int, pbucket int")
+
+    fd_suite = ConstraintSuite(
+        name="fd_shape",
+        constraints=(functional_dependency(["account"], "plan"),))
+    res, vio = SuiteEvaluator(spark, fd_suite).evaluate(df)
+    for frame in (res, vio):
+        p = physical_plan(frame)
+        assert "Window" not in p and "Join" not in p, p
+
+    agg_suite = ConstraintSuite(
+        name="agg_shape",
+        constraints=(group_agg_check("vsum", "account", "sum(v)", hi=1e9),))
+    res2, vio2 = SuiteEvaluator(spark, agg_suite).evaluate(df)
+    for frame in (res2, vio2):
+        p = physical_plan(frame)
+        assert "Window" not in p and "Join" not in p, p
