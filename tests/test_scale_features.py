@@ -412,3 +412,36 @@ def test_plan_shape_fd_and_agg_check_no_window(spark):
     for frame in (res2, vio2):
         p = physical_plan(frame)
         assert "Window" not in p and "Join" not in p, p
+
+
+def test_fd_hot_key_streams(spark):
+    """Skew smoke for functional_dependency: ONE determinant key
+    holding 500k rows (plus 100 cold keys) — the distinct pass hashes
+    the full (pid, det, dep) tuple, so the hot key's rows combine
+    map-side down to one row per distinct dependent before any
+    exchange; verdict arithmetic stays exact (the hot key is
+    inconsistent only because of its single planted second value)."""
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, functional_dependency)
+
+    hot_n = 500_000
+    hot = spark.range(hot_n).select(
+        F.lit("hot").alias("account"),
+        F.when(F.col("id") == 123_456, "free").otherwise("gold")
+        .alias("plan"),
+        F.lit(1).alias("pbucket"))
+    cold = spark.range(100).select(
+        F.format_string("c%04d", F.col("id")).alias("account"),
+        F.lit("gold").alias("plan"),
+        F.lit(1).alias("pbucket"))
+    suite = ConstraintSuite(
+        name="fd_hot",
+        constraints=(functional_dependency(["account"], "plan"),))
+    res, vio = SuiteEvaluator(spark, suite).evaluate(hot.unionByName(cold))
+    r = res.collect()[0]
+    assert r["violation_count"] == 1 and not r["passed"]
+    assert r["rows_checked"] == 102          # distinct (det, dep) pairs
+    v = vio.collect()
+    assert len(v) == 1 and v[0]["value"] == "hot"
+    assert v[0]["detail"] == "n_dependents=2 eg=free..gold"
