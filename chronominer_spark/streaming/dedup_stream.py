@@ -440,3 +440,118 @@ class IncrementalFDAudit:
             F.col("__lo").alias("dep_min"), F.col("__hi").alias("dep_max"),
             F.col("__has_null").alias("dep_has_null"),
         )
+
+
+class IncrementalGroupAggAudit:
+    """Streaming twin of the ``group_agg_check`` family for the
+    MERGEABLE aggregate primitives — ``sum`` / ``count`` / ``min`` /
+    ``max`` and ``avg`` (derived as sum/count at read time, never
+    folded directly: a mean of means is wrong under uneven batches).
+    The batch family accepts arbitrary SQL aggregates; the streaming
+    twin deliberately supports only the algebraic kernel every one of
+    its realistic budget checks is built from, because that is what
+    folds exactly across micro-batches.
+
+    State per group: ``(vsum, vcnt, n_rows, vmin, vmax)`` — all
+    associative+commutative, so the folded state equals the batch
+    aggregate over the concatenated input (pytest-asserted for a
+    3-way split), with the family's null discipline preserved:
+    aggregates ignore null values (``vcnt`` counts non-null), and a
+    group whose aggregate is null (no non-null values) cannot certify
+    the bound and is flagged. Same SnapshotTable pointer-flip commits,
+    replay-guarded batch ids, and touched-bucket partial rewrites as
+    the other incremental twins."""
+
+    AGGS = ("sum", "count", "min", "max", "avg")
+
+    def __init__(self, spark: SparkSession, state_root: str,
+                 group_col: str, value_col: str, agg: str = "sum",
+                 lo: float | None = None, hi: float | None = None,
+                 n_buckets: int = 16):
+        if agg not in self.AGGS:
+            raise ValueError(
+                f"agg must be one of {self.AGGS} (the mergeable kernel;"
+                f" arbitrary SQL aggregates are the batch family's"
+                f" contract), got {agg!r}")
+        self.spark = spark
+        self.table = SnapshotTable(spark, state_root)
+        self.group_col = group_col
+        self.value_col = value_col
+        self.agg = agg
+        self.lo, self.hi = lo, hi
+        self.n_buckets = n_buckets
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        v = F.col(self.value_col).cast("double")
+        return (
+            batch_df.select(self.group_col, v.alias("__v"))
+            .groupBy(self.group_col)
+            .agg(F.sum("__v").alias("vsum"),
+                 F.count("__v").alias("vcnt"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.min("__v").alias("vmin"),
+                 F.max("__v").alias("vmax"))
+            .withColumn("__bucket",
+                        F.pmod(F.xxhash64(self.group_col),
+                               F.lit(self.n_buckets)))
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        op = f"gagg_batch={batch_id}"
+        if any(s.operation == op for s in self.table.snapshots()):
+            return
+        partial = self._partial(batch_df).localCheckpoint(eager=True)
+        if self.table.exists():
+            touched = [r["__bucket"] for r in
+                       partial.select("__bucket").distinct().collect()]
+            state_touched = self.table.read().where(
+                F.col("__bucket").isin(touched))
+            merged = (
+                state_touched.unionByName(partial)
+                .groupBy(self.group_col)
+                .agg(F.sum("vsum").alias("vsum"),
+                     F.sum("vcnt").alias("vcnt"),
+                     F.sum("n_rows").alias("n_rows"),
+                     F.min("vmin").alias("vmin"),
+                     F.max("vmax").alias("vmax"),
+                     F.first("__bucket").alias("__bucket"))
+            )
+            self.table.write_snapshot_partial(
+                merged, "__bucket", touched, operation=op)
+        else:
+            self.table.write_snapshot(partial, partition_by=["__bucket"],
+                                      operation=op)
+
+    def attach(self, stream_df: DataFrame,
+               checkpoint_dir: str) -> StreamingQuery:
+        return (
+            stream_df.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def result(self) -> DataFrame:
+        """Per-group audit rows: group, ``n_rows``, the folded
+        aggregate value (null when no non-null values were ever seen),
+        and the ``violating`` verdict under the configured bounds —
+        null aggregates violate, the batch family's discipline."""
+        s = self.table.read()
+        agg_val = {
+            "sum": F.when(F.col("vcnt") > 0, F.col("vsum")),
+            "count": F.col("vcnt").cast("double"),
+            "min": F.col("vmin"),
+            "max": F.col("vmax"),
+            "avg": F.when(F.col("vcnt") > 0,
+                          F.col("vsum") / F.col("vcnt")),
+        }[self.agg]
+        ok = F.lit(True)
+        if self.lo is not None:
+            ok = ok & (agg_val >= F.lit(self.lo))
+        if self.hi is not None:
+            ok = ok & (agg_val <= F.lit(self.hi))
+        return s.select(
+            self.group_col, "n_rows", agg_val.alias("agg_value"),
+            (~F.coalesce(ok, F.lit(False))).alias("violating"),
+        )

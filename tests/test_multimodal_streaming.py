@@ -546,3 +546,64 @@ def test_incremental_fd_audit_matches_batch_family(spark, tmp_path):
     before = inc.table.current_snapshot_id()
     inc.process_batch(full.drop("b").limit(4), 0)
     assert inc.table.current_snapshot_id() == before
+
+
+def test_incremental_group_agg_audit_matches_batch_family(spark, tmp_path):
+    """Streaming twin of group_agg_check (mergeable kernel): the same
+    frame split into 3 micro-batches and folded through the per-group
+    (sum, cnt, n_rows, min, max) state must reach the batch family's
+    flagged-group set for avg bounds — including a group pushed over
+    budget only by a LATER batch and an all-null group (null aggregate
+    violates); a replayed batch id is a no-op; a non-mergeable agg name
+    is rejected."""
+    import pytest as _pytest
+
+    from chronominer_spark.constraints.engine import SuiteEvaluator
+    from chronominer_spark.constraints.spec import (
+        ConstraintSuite, group_agg_check)
+    from chronominer_spark.streaming.dedup_stream import (
+        IncrementalGroupAggAudit)
+
+    # c1 stays under avg<=100 across batches; c2 exceeds only once
+    # batch 2 lands; c3 all-null -> null avg -> violation
+    rows = [("c1", 80, 0), ("c1", 90, 1), ("c1", 100, 2),
+            ("c2", 90, 0), ("c2", 90, 1), ("c2", 400, 2),
+            ("c3", None, 0), ("c3", None, 2)]
+    full = spark.createDataFrame(rows, "conv_id string, est int, b int")
+
+    src = str(tmp_path / "gagg_stream")
+    for i in range(3):
+        (full.where(F.col("b") == i).drop("b")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    inc = IncrementalGroupAggAudit(
+        spark, str(tmp_path / "gagg_state"), "conv_id", "est",
+        agg="avg", hi=100.0)
+    stream = (spark.readStream.schema("conv_id string, est int")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = inc.attach(stream, str(tmp_path / "gagg_ckpt"))
+    q.awaitTermination()
+    assert len(inc.table.snapshots()) == 3
+
+    got = {r["conv_id"]: r for r in inc.result().collect()}
+    assert {k for k, r in got.items() if r["violating"]} == {"c2", "c3"}
+    assert got["c2"]["agg_value"] == (90 + 90 + 400) / 3
+    assert got["c3"]["agg_value"] is None and got["c3"]["n_rows"] == 2
+
+    suite = ConstraintSuite(
+        name="gagg_twin",
+        constraints=(group_agg_check("est_avg", "conv_id", "avg(est)",
+                                     hi=100.0),))
+    _, vio = SuiteEvaluator(spark, suite).evaluate(
+        full.withColumn("pbucket", F.lit(1)))
+    assert ({r["value"] for r in vio.collect()}
+            == {k for k, r in got.items() if r["violating"]})
+
+    before = inc.table.current_snapshot_id()
+    inc.process_batch(full.drop("b").limit(3), 0)
+    assert inc.table.current_snapshot_id() == before
+
+    with _pytest.raises(ValueError, match="mergeable"):
+        IncrementalGroupAggAudit(
+            spark, str(tmp_path / "x"), "conv_id", "est",
+            agg="percentile")
