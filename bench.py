@@ -61,12 +61,29 @@ BENCH_QUERIES = [
 # 447-482 MB/s, load < 1). Floors sit at ~50-60% of healthy so the
 # documented ±16-18% between-JVM band never trips them; the evening
 # host pathology (cold/write phases 1.5-3x slower) does.
-HEALTH_FLOORS = {
-    "cpu_1way_mbps": 700.0,
-    "cpu_parallel_scale": 8.0,
-    "fsync_mbps": 150.0,
-    "load1_max": 4.0,
-}
+#
+# Portability (round-5 ADVICE): the parallel-scale floor is capped at
+# half the visible core count — a fixed 8.0 would label every <16-core
+# host permanently degraded. Each floor is also overridable via
+# CM_HEALTH_FLOOR_<NAME> env vars for hosts whose healthy band differs.
+
+
+def _health_floors() -> dict:
+    cpus = os.cpu_count() or 32
+    floors = {
+        "cpu_1way_mbps": 700.0,
+        "cpu_parallel_scale": min(8.0, 0.5 * min(32, cpus)),
+        "fsync_mbps": 150.0,
+        "load1_max": 4.0,
+    }
+    for k in floors:
+        env = os.environ.get(f"CM_HEALTH_FLOOR_{k.upper()}")
+        if env is not None:
+            floors[k] = float(env)
+    return floors
+
+
+HEALTH_FLOORS = _health_floors()
 
 # round-4/5 additions tracked in their own timed section (BENCH_QUERIES
 # stays frozen): the always-on constraint families (conversation shape,
@@ -89,15 +106,19 @@ SUITE_TURNS = int(os.environ.get("SPARK_GRAFT_SUITE_TURNS", "2000000"))
 SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "8000000"))
 
 
-def _host_health() -> dict:
+def _host_health(hash_mib: int = 256, write_mib: int = 256) -> dict:
     """Pre-flight host sentinel (round-4 verdict task: BENCH_r04.json
     silently recorded a degraded-host window as a phantom 2.4x
     regression). Three microbenchmarks — single-thread sha256 rate,
     32-thread aggregate scale (hashlib releases the GIL), and a warm
-    fsync'd 256 MiB write (first write discarded: cold page cache) —
-    plus the 1-min load average, each compared to the stored
-    healthy-band floors. The stamp rides in the bench JSON so a draw
-    taken on a sick machine is LABELED, not trusted."""
+    fsync'd write (first write discarded: cold page cache) — plus the
+    1-min load average, each compared to the stored healthy-band
+    floors. The stamp rides in the bench JSON so a draw taken on a sick
+    machine is LABELED, not trusted.
+
+    ``hash_mib``/``write_mib`` size the probes; production draws use
+    the calibrated 256 MiB defaults, the unit test shrinks them (the
+    floor/shape logic is what it asserts — round-5 ADVICE)."""
     import concurrent.futures
     import hashlib
     import tempfile
@@ -110,15 +131,15 @@ def _host_health() -> dict:
         h.hexdigest()
 
     t0 = time.perf_counter()
-    hash_mb(256)
-    one_way = 256 / (time.perf_counter() - t0)
+    hash_mb(hash_mib)
+    one_way = hash_mib / (time.perf_counter() - t0)
 
     def parallel_scale() -> float:
         nthr = min(32, os.cpu_count() or 32)
         t0 = time.perf_counter()
         with concurrent.futures.ThreadPoolExecutor(nthr) as ex:
-            list(ex.map(hash_mb, [256] * nthr))
-        return (nthr * 256 / (time.perf_counter() - t0)) / one_way
+            list(ex.map(hash_mb, [hash_mib] * nthr))
+        return (nthr * hash_mib / (time.perf_counter() - t0)) / one_way
 
     # best-of-2 on the probes with cold-start asymmetry (thread-pool
     # spin-up, cold page cache): a transient first-draw dip must not
@@ -132,16 +153,16 @@ def _host_health() -> dict:
         t0 = time.perf_counter()
         try:
             with os.fdopen(fd, "wb") as f:
-                for _ in range(mib // 4):
+                for _ in range(max(1, mib // 4)):
                     f.write(blk)
                 f.flush()
                 os.fsync(f.fileno())
-            return mib / (time.perf_counter() - t0)
+            return max(4, mib) / (time.perf_counter() - t0)
         finally:
             os.unlink(p)
 
-    fsync_write(64)                 # throwaway: cold-cache first write
-    fsync_mbps = max(fsync_write(256), fsync_write(256))
+    fsync_write(max(4, write_mib // 4))   # throwaway: cold-cache write
+    fsync_mbps = max(fsync_write(write_mib), fsync_write(write_mib))
     load1 = os.getloadavg()[0]
 
     measured = {
@@ -237,10 +258,13 @@ def _run_suite(spark, n_turns: int, fingerprint: bool = False):
     from chronominer_spark.constraints.spec import default_vocab_dfs
     suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
     ev = SuiteEvaluator(spark, suite, default_vocab_dfs(spark, list(TOOL_VOCAB)))
+    from chronominer_spark.plans.actions import run_concurrent
     t0 = time.time()
     res, vio = ev.evaluate(df, ref, snapshot_id=1)
-    res.count()
-    vio.count()
+    # overlap the two output jobs (FAIR pools): violations reuses the
+    # persisted shares the results job computes, and its independent
+    # stages fill the results job's low-parallelism tails
+    run_concurrent(spark, {"res": res.count, "vio": vio.count})
     wall = time.time() - t0
 
     fp = None

@@ -94,3 +94,47 @@ class CheckpointManifest:
     def has_drift(self, suite_hash: str) -> bool:
         """True if prior runs used a different suite config (warn + rerun)."""
         return any(e.suite_hash != suite_hash for e in self.entries())
+
+    # ---------------------------------------------------------- decisions
+    # Physical-strategy decisions (e.g. text_equality digest-vs-direct,
+    # engine._digest_auto_choice) are *measurements of the data*, valid
+    # for exactly one (snapshot_id, suite_hash): the same scoping rule as
+    # completed partitions. Caching them here means a RERUN of the same
+    # snapshot skips the probe job entirely (round-5 verdict item 4) —
+    # one Spark action saved per equality constraint per rerun — while a
+    # snapshot advance or config drift naturally invalidates the entry.
+
+    @property
+    def _decisions_path(self) -> str:
+        return os.path.join(
+            os.path.dirname(self.path) or ".", "strategy_decisions.json")
+
+    def strategy_decisions(
+        self, snapshot_id: int, suite_hash: str
+    ) -> dict[str, bool]:
+        """Cached strategy choices for this (snapshot, suite), keyed by
+        constraint_id. Returns {} when none recorded."""
+        if not os.path.exists(self._decisions_path):
+            return {}
+        with open(self._decisions_path, encoding="utf-8") as f:
+            all_rows = json.load(f)
+        return dict(all_rows.get(f"{snapshot_id}:{suite_hash}", {}))
+
+    def save_strategy_decisions(
+        self, snapshot_id: int, suite_hash: str, decisions: dict[str, bool]
+    ) -> None:
+        """Atomically merge decisions under the (snapshot, suite) key."""
+        if not decisions:
+            return
+        all_rows: dict[str, dict[str, bool]] = {}
+        if os.path.exists(self._decisions_path):
+            with open(self._decisions_path, encoding="utf-8") as f:
+                all_rows = json.load(f)
+        key = f"{snapshot_id}:{suite_hash}"
+        merged = dict(all_rows.get(key, {}))
+        merged.update(decisions)
+        all_rows[key] = merged
+        tmp = self._decisions_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(all_rows, f)
+        os.replace(tmp, self._decisions_path)

@@ -132,6 +132,13 @@ class SuiteEvaluator:
         self.vocab_dfs = vocab_dfs or {}
         self.share_input_scan = share_input_scan
         self._persisted: list[DataFrame] = []
+        # physical-strategy decision cache (constraint_id -> choice),
+        # e.g. text_equality digest-vs-direct. A probe result found here
+        # is reused instead of re-measured; fresh probe results are
+        # written back so the OWNER (the runner, which scopes the dict
+        # by snapshot+suite_hash in the checkpoint manifest) can persist
+        # them. Strategy choice never changes OUTPUTS, only the plan.
+        self.strategy_cache: dict[str, bool] = {}
 
     def _share(self, frame: DataFrame) -> DataFrame:
         """Persist an intermediate that both the results and the
@@ -1401,7 +1408,16 @@ class SuiteEvaluator:
 
         digest_opt = p.get("digest", False)
         if digest_opt == "auto":
-            digest_opt = self._digest_auto_choice(df, ref, c)
+            cached = self.strategy_cache.get(c.constraint_id)
+            if cached is not None:
+                logger.info(
+                    "text_equality[%s]: auto choice from cache -> %s",
+                    c.constraint_id,
+                    "digest prepass" if cached else "direct join")
+                digest_opt = cached
+            else:
+                digest_opt = self._digest_auto_choice(df, ref, c)
+                self.strategy_cache[c.constraint_id] = digest_opt
 
         if not digest_opt:
             if pre is not None:

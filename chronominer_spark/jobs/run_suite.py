@@ -20,7 +20,8 @@ Exit codes mirror the reference's contract
 Precedence: 2 beats 3 — a FAILED run keeps exit 2 even when it also
 regressed, so the harder signal is never masked; only complete/partial
 runs (0/1) escalate to 3. An unreadable ``--diff-prev`` path is a
-clean exit-2 CLI error, not a traceback.
+clean exit-64 usage error (EX_USAGE), never a traceback — and never
+exit 2, which is reserved for real data failures.
 """
 
 from __future__ import annotations
@@ -131,10 +132,14 @@ def main(argv: list[str] | None = None) -> int:
         try:
             prev = spark.read.parquet(f"{args.diff_prev}/results")
         except AnalysisException as e:
+            # EX_USAGE (64), NOT 2: exit 2 is reserved for a FAILED
+            # validation run, and an orchestrator branching on exit
+            # codes must be able to tell a mis-typed path from real
+            # data failures (round-5 ADVICE)
             print(f"error: --diff-prev {args.diff_prev!r} has no readable "
                   f"results table ({e.getErrorClass() or e})", file=sys.stderr)
             spark.stop()
-            return 2
+            return 64
         cur = spark.read.parquet(f"{args.output}/results")
         diff = diff_validation_results(prev, cur)
         counts = {r["transition"]: r["n"] for r in

@@ -33,6 +33,15 @@ import math
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+# derived-bucket-width memo, keyed by interval-frame object identity
+# (weak: dropping the frame drops the entry). Same frame + same bounds
+# -> the p95 probe runs once, not once per interval_join call.
+import weakref
+
+_WIDTH_MEMO: "weakref.WeakKeyDictionary[DataFrame, tuple]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def interval_join(
     points: DataFrame,
@@ -70,6 +79,14 @@ def interval_join(
     parameter remains the override; pathological outliers beyond
     ``max_buckets_per_interval`` x width still fail loudly.
 
+    NOTE (round-5 ADVICE): ``bucket_width=None`` runs that aggregate
+    EAGERLY at call time — one extra Spark action and one extra
+    (narrow, 1-column) scan of the interval side per call, a deliberate
+    break from the otherwise-lazy builder. The derived width is
+    memoized per interval DataFrame *object*, so repeated calls over
+    the same frame (a loop of point tables against one state table)
+    probe once; pass ``bucket_width`` explicitly to stay fully lazy.
+
     Pathology guard: an interval covering more than
     ``max_buckets_per_interval`` buckets fails the job via
     ``raise_error`` inside the plan (zero extra actions) — an
@@ -83,12 +100,17 @@ def interval_join(
                      else [c for c in intervals.columns
                            if c not in set(on) | {lo, hi}])
     if bucket_width is None:
-        spans = intervals.select(
-            (F.col(hi) - F.col(lo)).cast("double").alias("__span"))
-        qs = spans.where(F.col("__span").isNotNull()) \
-            .approxQuantile("__span", [0.95], 0.01)
-        # empty/all-null interval side: any width joins zero pairs
-        bucket_width = max(1, int(math.ceil(qs[0]))) if qs else 3600
+        memo = _WIDTH_MEMO.get(intervals)
+        if memo is not None and memo[0] == (lo, hi):
+            bucket_width = memo[1]
+        else:
+            spans = intervals.select(
+                (F.col(hi) - F.col(lo)).cast("double").alias("__span"))
+            qs = spans.where(F.col("__span").isNotNull()) \
+                .approxQuantile("__span", [0.95], 0.01)
+            # empty/all-null interval side: any width joins zero pairs
+            bucket_width = max(1, int(math.ceil(qs[0]))) if qs else 3600
+            _WIDTH_MEMO[intervals] = ((lo, hi), bucket_width)
     w = F.lit(int(bucket_width)).cast("long")
     blo = F.floor(F.col(lo) / w).cast("long")
     bhi = F.floor(F.col(hi) / w).cast("long")

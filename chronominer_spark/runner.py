@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from chronominer_spark.checkpoint import CheckpointManifest
 from chronominer_spark.constraints.engine import SuiteEvaluator
 from chronominer_spark.constraints.spec import ConstraintSuite
+from chronominer_spark.plans.actions import run_concurrent
 
 log = logging.getLogger(__name__)
 
@@ -134,6 +135,12 @@ class SuiteRunner:
                 "the old config is NOT reused (refuse-on-drift semantics)"
             )
 
+        # physical-strategy decisions (digest-vs-direct probes) cached by
+        # (snapshot, suite_hash): a rerun of the same snapshot reuses the
+        # measured choice instead of re-running the probe job
+        self.evaluator.strategy_cache = self.manifest.strategy_decisions(
+            snapshot_id, suite_hash)
+
         all_parts = self._partition_values(df)
         done = self.manifest.completed_partitions(snapshot_id, suite_hash)
         pending = [p for p in all_parts if self._partition_id(p) not in done]
@@ -160,7 +167,12 @@ class SuiteRunner:
                 sub, sub_ref, snapshot_id=snapshot_id,
                 with_violations=with_violations,
             )
-            self._write(self._stamp(res, run_id), self.results_path)
+            self.manifest.save_strategy_decisions(
+                snapshot_id, suite_hash, self.evaluator.strategy_cache)
+            jobs = {
+                "results": (lambda r=res: self._write(
+                    self._stamp(r, run_id), self.results_path)),
+            }
             if with_violations:
                 # dynamic partition overwrite only replaces partition dirs
                 # PRESENT in the frame: a re-validated partition that now
@@ -170,7 +182,12 @@ class SuiteRunner:
                 vio = vio.unionByName(
                     self._violation_sentinels(vio, pids, snapshot_id)
                 )
-                self._write(self._stamp(vio, run_id), self.violations_path)
+                jobs["violations"] = (lambda v=vio: self._write(
+                    self._stamp(v, run_id), self.violations_path))
+            # the two sinks are independent paths: overlap their jobs so
+            # one write's low-parallelism tail (commit, final aggregates)
+            # runs under the other's scan (plans/actions.py)
+            run_concurrent(self.spark, jobs)
             self.evaluator.unpersist_all()
             self.manifest.mark_completed(pids, snapshot_id, suite_hash, run_id)
             summary.completed.extend(pids)

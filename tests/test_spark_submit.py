@@ -181,9 +181,10 @@ def test_spark_submit_diff_gate_exit_code_contract(spark, tmp_path):
 
 
 def test_run_suite_diff_prev_bad_path_is_clean_cli_error(tmp_path):
-    """An unreadable --diff-prev path must be a friendly exit-2 CLI
-    error on stderr, not an AnalysisException traceback (round-4
-    ADVICE)."""
+    """An unreadable --diff-prev path must be a friendly exit-64
+    (EX_USAGE) CLI error on stderr — not a traceback (round-4 ADVICE),
+    and not exit 2, which is reserved for a FAILED validation run so
+    orchestrators can branch on it (round-5 ADVICE)."""
     rows_path = str(tmp_path / "t")
     import pandas as pd
     pd.DataFrame({
@@ -200,6 +201,6 @@ def test_run_suite_diff_prev_bad_path_is_clean_cli_error(tmp_path):
         capture_output=True, text=True, cwd=REPO,
         env={**os.environ, "PYTHONPATH": REPO},
     )
-    assert proc.returncode == 2
+    assert proc.returncode == 64
     assert "error: --diff-prev" in proc.stderr
     assert "Traceback" not in proc.stderr
