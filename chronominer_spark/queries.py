@@ -4187,6 +4187,51 @@ SELECT * FROM res UNION ALL SELECT * FROM vio
 """
 
 
+def q72_incremental_categorical_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING-semantics categorical drift, driver-verified: the
+    current snapshot (odd events, with q58's planted every-5th remap to
+    'click') is ingested as three deterministic micro-batches
+    (event_id % 3... per batch) through
+    :class:`IncrementalCategoricalDrift`'s mergeable count fold, then
+    the per-bucket PSI vs the reference snapshot (even events) is
+    computed from the folded state — the oracle IS q58's SQL, so the
+    driver checks that the incremental fold and the one-shot batch PSI
+    reach the same fixed point (per-category counts fold by plain sum,
+    the most mergeable aggregate there is; this proves it across an
+    arbitrary batch split). The reference's drift posture is
+    snapshot-vs-snapshot (SURVEY §2.9); the streaming twin keeps
+    O(partitions × categories) state, never O(rows)."""
+    import shutil
+    import tempfile
+
+    from chronominer_spark.streaming.dedup_stream import (
+        IncrementalCategoricalDrift,
+    )
+
+    e = t(spark, sf_dir, "events")
+    ref = e.where(F.col("event_id") % 2 == 0).select(
+        (F.col("user_id") % 4).cast("long").alias("pgroup"), "event_type")
+    cur = e.where(F.col("event_id") % 2 == 1).select(
+        (F.col("user_id") % 4).cast("long").alias("pgroup"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("click"))
+        .otherwise(F.col("event_type")).alias("event_type"),
+        "event_id")
+    root = tempfile.mkdtemp(prefix="cm_q72_")
+    try:
+        inc = IncrementalCategoricalDrift(spark, root, "pgroup", "event_type")
+        for i in range(3):
+            inc.process_batch(
+                cur.where(F.pmod(F.col("event_id"), F.lit(3)) == i).drop(
+                    "event_id"), i)
+        out = inc.result(ref).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select("pgroup", "n_categories",
+                      F.round("psi", 6).alias("psi"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -4259,6 +4304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_calendar_completeness": q69_calendar_completeness,
     "q70_partition_outliers": q70_partition_outliers,
     "q71_token_budget_audit": q71_token_budget_audit,
+    "q72_incremental_categorical_drift": q72_incremental_categorical_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -4333,6 +4379,9 @@ ORACLES: dict[str, str] = {
     "q69_calendar_completeness": _Q69_SQL,
     "q70_partition_outliers": _Q70_SQL,
     "q71_token_budget_audit": _Q71_SQL,
+    # fixed-point contract: the incremental fold must land exactly on
+    # the batch PSI, so q72's oracle IS q58's SQL (as q43's is q17's)
+    "q72_incremental_categorical_drift": _Q58_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

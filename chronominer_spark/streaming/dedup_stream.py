@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import Column
+
 from chronominer_spark.operators.dedup import (
     band_buckets,
     content_key,
@@ -49,32 +51,137 @@ from chronominer_spark.operators.dedup import (
 from chronominer_spark.tables import AppendLog, SnapshotTable
 
 
-class IncrementalExactDedup:
+class StreamFoldBase:
+    """Shared streaming driver for every incremental twin: attach a
+    ``foreachBatch`` hook that folds micro-batches into durable state
+    (subclasses define :meth:`process_batch`)."""
+
+    spark: SparkSession
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        raise NotImplementedError
+
+    def attach(self, stream_df: DataFrame,
+               checkpoint_dir: str) -> StreamingQuery:
+        """Attach to a streaming DataFrame: every micro-batch folds into
+        the state through :meth:`process_batch`."""
+        return (
+            stream_df.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+class MergeableStateFold(StreamFoldBase):
+    """Fold-commit skeleton shared by every incremental twin whose state
+    is a PER-KEY MERGEABLE AGGREGATE — exact dedup, FD audit, group-agg
+    audit, categorical drift (round-5 verdict item 6: this plumbing was
+    previously repeated per class).
+
+    Subclasses define three things:
+
+    - ``OP_PREFIX``: the snapshot-log operation namespace;
+    - :meth:`_partial`: collapse one micro-batch to one row per key —
+      the identical map-side partial the batch family computes;
+    - :meth:`_merge_exprs`: the aggregate expressions that merge state
+      rows with partial rows per key. Every expression must be
+      associative + commutative, which is exactly what makes the folded
+      state IDENTICAL to the batch family over the concatenated input
+      (each twin's fixed-point pytest asserts this for a 3-way split).
+
+    The skeleton provides the rest, uniformly:
+
+    - replay guard: a batch id already in the snapshot log is skipped —
+      ST6 idempotence under foreachBatch's at-least-once delivery;
+    - key-hash bucketing (``xxhash64(*key_cols) % n_buckets``) and
+      TOUCHED-BUCKET partial rewrites: untouched bucket partitions are
+      carried file-by-file into the new snapshot
+      (:meth:`SnapshotTable.write_snapshot_partial` — the plain-parquet
+      analog of an Iceberg ``MERGE INTO`` commit). Per-batch write cost
+      is O(touched buckets), never O(state); the touched list is a
+      ≤``n_buckets``-row collect;
+    - atomic pointer-flip commits; old snapshots stay readable.
+
+    State size is O(distinct keys), never O(rows ingested).
+    """
+
+    OP_PREFIX = "fold"
+
+    def __init__(self, spark: SparkSession, state_root: str,
+                 key_cols: list[str], n_buckets: int = 16):
+        self.spark = spark
+        self.table = SnapshotTable(spark, state_root)
+        self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
+
+    # -- subclass contract --------------------------------------------------
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        """One row per key for this micro-batch (key cols + state cols;
+        the bucket column is added by the skeleton)."""
+        raise NotImplementedError
+
+    def _merge_exprs(self) -> list[Column]:
+        """Aggregates (aliased to the state columns) merging state +
+        partial rows grouped by the key columns."""
+        raise NotImplementedError
+
+    # -- fold-commit skeleton -----------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        op = f"{self.OP_PREFIX}_batch={batch_id}"
+        if any(s.operation == op for s in self.table.snapshots()):
+            return
+        partial = (
+            self._partial(batch_df)
+            .withColumn("__bucket",
+                        F.pmod(F.xxhash64(*self.key_cols),
+                               F.lit(self.n_buckets)))
+            .localCheckpoint(eager=True)
+        )
+        if self.table.exists():
+            touched = [r["__bucket"] for r in
+                       partial.select("__bucket").distinct().collect()]
+            state_touched = self.table.read().where(
+                F.col("__bucket").isin(touched))
+            merged = (
+                state_touched.unionByName(partial)
+                .groupBy(*self.key_cols)
+                .agg(*self._merge_exprs(),
+                     F.first("__bucket").alias("__bucket"))
+            )
+            self.table.write_snapshot_partial(
+                merged, "__bucket", touched, operation=op)
+        else:
+            self.table.write_snapshot(partial, partition_by=["__bucket"],
+                                      operation=op)
+
+
+class IncrementalExactDedup(MergeableStateFold):
     """Maintains exact-dedup state across micro-batches.
 
     Parameters mirror :func:`exact_dedup`: the winner per content key is
     ``min(struct(id_col, *other_columns))`` and ``dup_count`` counts
-    every row ever seen with that key.
+    every row ever seen with that key. State: one
+    ``(__ck, __w, dup_count)`` row per distinct content key.
     """
+
+    OP_PREFIX = "dedup"
 
     def __init__(
         self, spark: SparkSession, state_root: str,
         id_col: str, text_col: str, normalize: bool = True,
         n_buckets: int = 16,
     ):
-        self.spark = spark
-        self.table = SnapshotTable(spark, state_root)
+        super().__init__(spark, state_root, ["__ck"], n_buckets)
         self.id_col = id_col
         self.text_col = text_col
         self.normalize = normalize
-        self.n_buckets = n_buckets
 
-    # -- batch fold ---------------------------------------------------------
     def _partial(self, batch_df: DataFrame) -> DataFrame:
-        """Collapse one micro-batch to (__ck, __w, dup_count, __bucket) —
-        the identical map-side partial batch exact_dedup computes."""
-        cols = batch_df.columns
-        others = [c for c in cols if c != self.id_col]
+        """Collapse one micro-batch to (__ck, __w, dup_count) — the
+        identical map-side partial batch exact_dedup computes."""
+        others = [c for c in batch_df.columns if c != self.id_col]
         return (
             batch_df
             .withColumn("__ck", content_key(self.text_col, self.normalize))
@@ -84,59 +191,12 @@ class IncrementalExactDedup:
                                *[F.col(c) for c in others])).alias("__w"),
                 F.count(F.lit(1)).alias("dup_count"),
             )
-            .withColumn("__bucket",
-                        F.pmod(F.xxhash64("__ck"), F.lit(self.n_buckets)))
         )
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch hook: merge the batch partial into the state and
-        commit atomically. Replays of an already-committed batch id are
-        skipped (idempotent under foreachBatch's at-least-once
-        delivery).
+    def _merge_exprs(self) -> list[Column]:
+        return [F.min("__w").alias("__w"),
+                F.sum("dup_count").alias("dup_count")]
 
-        The merge re-aggregates and rewrites ONLY the content-key
-        buckets the batch touches; untouched bucket partitions are
-        carried forward file-by-file into the new snapshot
-        (:meth:`SnapshotTable.write_snapshot_partial` — the
-        plain-parquet analog of an Iceberg ``MERGE INTO`` commit).
-        Write cost per batch is O(touched buckets), not O(state); the
-        touched-bucket list is a ≤``n_buckets``-row collect."""
-        op = f"dedup_batch={batch_id}"
-        if any(s.operation == op for s in self.table.snapshots()):
-            return
-        partial = self._partial(batch_df).localCheckpoint(eager=True)
-        if self.table.exists():
-            touched = [r["__bucket"] for r in
-                       partial.select("__bucket").distinct().collect()]
-            state_touched = self.table.read().where(
-                F.col("__bucket").isin(touched))
-            merged_touched = (
-                state_touched.unionByName(partial)
-                .groupBy("__ck")
-                .agg(F.min("__w").alias("__w"),
-                     F.sum("dup_count").alias("dup_count"),
-                     F.first("__bucket").alias("__bucket"))
-            )
-            self.table.write_snapshot_partial(
-                merged_touched, "__bucket", touched, operation=op)
-        else:
-            self.table.write_snapshot(partial, partition_by=["__bucket"],
-                                      operation=op)
-
-    # -- streaming driver ---------------------------------------------------
-    def attach(self, stream_df: DataFrame,
-               checkpoint_dir: str) -> StreamingQuery:
-        """Attach to a streaming DataFrame: every micro-batch folds into
-        the state table through :meth:`process_batch`."""
-        return (
-            stream_df.writeStream
-            .foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    # -- read back ----------------------------------------------------------
     def result(self) -> DataFrame:
         """Current survivors in batch ``exact_dedup``'s output shape:
         the original columns of the winner row + ``dup_count``."""
@@ -147,7 +207,7 @@ class IncrementalExactDedup:
         )
 
 
-class IncrementalNearDup:
+class IncrementalNearDup(StreamFoldBase):
     """Incremental MinHash+banded-LSH near-duplicate CANDIDATE detection
     — the streaming twin of :func:`minhash_signatures` +
     :func:`lsh_candidate_pairs`.
@@ -237,16 +297,6 @@ class IncrementalNearDup:
         if not buckets_done:
             self.buckets.append(new_b, label=buckets_label)
 
-    def attach(self, stream_df: DataFrame,
-               checkpoint_dir: str) -> StreamingQuery:
-        return (
-            stream_df.writeStream
-            .foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-
     def result(self) -> DataFrame:
         """All near-dup candidate pairs found so far (distinct
         (id_a, id_b), id_a < id_b — batch ``lsh_candidate_pairs``'
@@ -257,7 +307,7 @@ class IncrementalNearDup:
         return p.distinct()
 
 
-class IncrementalHeavyHitters:
+class IncrementalHeavyHitters(StreamFoldBase):
     """Streaming twin of
     :func:`chronominer_spark.operators.sketches.heavy_hitters`: a
     Misra–Gries summary folded across micro-batches.
@@ -320,16 +370,6 @@ class IncrementalHeavyHitters:
         self.table.write_snapshot(
             merged.unionByName(total_row), operation=op)
 
-    def attach(self, stream_df: DataFrame,
-               checkpoint_dir: str) -> StreamingQuery:
-        return (
-            stream_df.writeStream
-            .foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-
     def result(self) -> tuple[DataFrame, int]:
         """(summary DataFrame (item, est_count), total items ingested)."""
         state = self.table.read()
@@ -342,7 +382,7 @@ class IncrementalHeavyHitters:
         )
 
 
-class IncrementalFDAudit:
+class IncrementalFDAudit(MergeableStateFold):
     """Streaming twin of the ``functional_dependency`` constraint
     family (``constraints/engine.py:_functional_dependency``):
     determinant → dependent consistency maintained ACROSS
@@ -355,26 +395,19 @@ class IncrementalFDAudit:
     ``min != max`` OR (``has_null`` AND ``min IS NOT NULL``). Proving
     ">1 distinct" needs only two differing witnesses, and the extremes
     plus the null flag always contain two when two exist — so no
-    distinct-count sketch and no value set is kept. min/max/or/sum are
-    associative + commutative, so the folded state is IDENTICAL to the
-    batch family over the concatenated input (pytest-asserted for a
-    3-way split).
-
-    State is one row per distinct determinant key — O(keys), never
-    O(rows) — committed through :class:`SnapshotTable`'s atomic
-    pointer flip with replayed batch ids skipped (ST6), and each batch
-    rewrites ONLY the key-hash buckets it touches (the same
-    Iceberg-MERGE-manifest analog as :class:`IncrementalExactDedup`).
+    distinct-count sketch and no value set is kept. State: one row per
+    distinct determinant key; commit/replay/bucket mechanics from
+    :class:`MergeableStateFold`.
     """
+
+    OP_PREFIX = "fd"
 
     def __init__(self, spark: SparkSession, state_root: str,
                  determinant: list[str], dependent: str,
                  n_buckets: int = 16):
-        self.spark = spark
-        self.table = SnapshotTable(spark, state_root)
-        self.det = list(determinant)
+        super().__init__(spark, state_root, list(determinant), n_buckets)
+        self.det = self.key_cols
         self.dep = dependent
-        self.n_buckets = n_buckets
 
     def _partial(self, batch_df: DataFrame) -> DataFrame:
         d = F.col(self.dep).cast("string")
@@ -385,44 +418,13 @@ class IncrementalFDAudit:
                  F.max("__dep").alias("__hi"),
                  F.max(F.col("__dep").isNull()).alias("__has_null"),
                  F.count(F.lit(1)).alias("n_rows"))
-            .withColumn("__bucket",
-                        F.pmod(F.xxhash64(*self.det), F.lit(self.n_buckets)))
         )
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        op = f"fd_batch={batch_id}"
-        if any(s.operation == op for s in self.table.snapshots()):
-            return
-        partial = self._partial(batch_df).localCheckpoint(eager=True)
-        if self.table.exists():
-            touched = [r["__bucket"] for r in
-                       partial.select("__bucket").distinct().collect()]
-            state_touched = self.table.read().where(
-                F.col("__bucket").isin(touched))
-            merged = (
-                state_touched.unionByName(partial)
-                .groupBy(*self.det)
-                .agg(F.min("__lo").alias("__lo"),
-                     F.max("__hi").alias("__hi"),
-                     F.max("__has_null").alias("__has_null"),
-                     F.sum("n_rows").alias("n_rows"),
-                     F.first("__bucket").alias("__bucket"))
-            )
-            self.table.write_snapshot_partial(
-                merged, "__bucket", touched, operation=op)
-        else:
-            self.table.write_snapshot(partial, partition_by=["__bucket"],
-                                      operation=op)
-
-    def attach(self, stream_df: DataFrame,
-               checkpoint_dir: str) -> StreamingQuery:
-        return (
-            stream_df.writeStream
-            .foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+    def _merge_exprs(self) -> list[Column]:
+        return [F.min("__lo").alias("__lo"),
+                F.max("__hi").alias("__hi"),
+                F.max("__has_null").alias("__has_null"),
+                F.sum("n_rows").alias("n_rows")]
 
     def result(self) -> DataFrame:
         """Per-key audit rows: determinant columns, ``n_rows`` seen,
@@ -442,7 +444,7 @@ class IncrementalFDAudit:
         )
 
 
-class IncrementalGroupAggAudit:
+class IncrementalGroupAggAudit(MergeableStateFold):
     """Streaming twin of the ``group_agg_check`` family for the
     MERGEABLE aggregate primitives — ``sum`` / ``count`` / ``min`` /
     ``max`` and ``avg`` (derived as sum/count at read time, never
@@ -452,16 +454,13 @@ class IncrementalGroupAggAudit:
     its realistic budget checks is built from, because that is what
     folds exactly across micro-batches.
 
-    State per group: ``(vsum, vcnt, n_rows, vmin, vmax)`` — all
-    associative+commutative, so the folded state equals the batch
-    aggregate over the concatenated input (pytest-asserted for a
-    3-way split), with the family's null discipline preserved:
-    aggregates ignore null values (``vcnt`` counts non-null), and a
-    group whose aggregate is null (no non-null values) cannot certify
-    the bound and is flagged. Same SnapshotTable pointer-flip commits,
-    replay-guarded batch ids, and touched-bucket partial rewrites as
-    the other incremental twins."""
+    State per group: ``(vsum, vcnt, n_rows, vmin, vmax)`` — the
+    family's null discipline preserved: aggregates ignore null values
+    (``vcnt`` counts non-null), and a group whose aggregate is null
+    (no non-null values) cannot certify the bound and is flagged.
+    Commit/replay/bucket mechanics from :class:`MergeableStateFold`."""
 
+    OP_PREFIX = "gagg"
     AGGS = ("sum", "count", "min", "max", "avg")
 
     def __init__(self, spark: SparkSession, state_root: str,
@@ -473,13 +472,11 @@ class IncrementalGroupAggAudit:
                 f"agg must be one of {self.AGGS} (the mergeable kernel;"
                 f" arbitrary SQL aggregates are the batch family's"
                 f" contract), got {agg!r}")
-        self.spark = spark
-        self.table = SnapshotTable(spark, state_root)
+        super().__init__(spark, state_root, [group_col], n_buckets)
         self.group_col = group_col
         self.value_col = value_col
         self.agg = agg
         self.lo, self.hi = lo, hi
-        self.n_buckets = n_buckets
 
     def _partial(self, batch_df: DataFrame) -> DataFrame:
         v = F.col(self.value_col).cast("double")
@@ -491,46 +488,14 @@ class IncrementalGroupAggAudit:
                  F.count(F.lit(1)).alias("n_rows"),
                  F.min("__v").alias("vmin"),
                  F.max("__v").alias("vmax"))
-            .withColumn("__bucket",
-                        F.pmod(F.xxhash64(self.group_col),
-                               F.lit(self.n_buckets)))
         )
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        op = f"gagg_batch={batch_id}"
-        if any(s.operation == op for s in self.table.snapshots()):
-            return
-        partial = self._partial(batch_df).localCheckpoint(eager=True)
-        if self.table.exists():
-            touched = [r["__bucket"] for r in
-                       partial.select("__bucket").distinct().collect()]
-            state_touched = self.table.read().where(
-                F.col("__bucket").isin(touched))
-            merged = (
-                state_touched.unionByName(partial)
-                .groupBy(self.group_col)
-                .agg(F.sum("vsum").alias("vsum"),
-                     F.sum("vcnt").alias("vcnt"),
-                     F.sum("n_rows").alias("n_rows"),
-                     F.min("vmin").alias("vmin"),
-                     F.max("vmax").alias("vmax"),
-                     F.first("__bucket").alias("__bucket"))
-            )
-            self.table.write_snapshot_partial(
-                merged, "__bucket", touched, operation=op)
-        else:
-            self.table.write_snapshot(partial, partition_by=["__bucket"],
-                                      operation=op)
-
-    def attach(self, stream_df: DataFrame,
-               checkpoint_dir: str) -> StreamingQuery:
-        return (
-            stream_df.writeStream
-            .foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+    def _merge_exprs(self) -> list[Column]:
+        return [F.sum("vsum").alias("vsum"),
+                F.sum("vcnt").alias("vcnt"),
+                F.sum("n_rows").alias("n_rows"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax")]
 
     def result(self) -> DataFrame:
         """Per-group audit rows: group, ``n_rows``, the folded
@@ -554,4 +519,100 @@ class IncrementalGroupAggAudit:
         return s.select(
             self.group_col, "n_rows", agg_val.alias("agg_value"),
             (~F.coalesce(ok, F.lit(False))).alias("violating"),
+        )
+
+
+class IncrementalCategoricalDrift(MergeableStateFold):
+    """Streaming twin of the ``drift_categorical`` constraint family
+    (``constraints/engine.py:_drift_categorical``): category-frequency
+    PSI of an ARRIVING current snapshot against a fixed reference
+    snapshot, maintained across micro-batches.
+
+    The reference's drift posture is snapshot-vs-snapshot (SURVEY §2.9:
+    drift checks compare partition snapshots); the only state the PSI
+    needs from the stream is the per-(partition, category) count — a
+    plain ``sum``, the most mergeable aggregate there is. Each batch
+    folds its count partial into the state; the PSI itself is computed
+    at READ time against the reference's counts, so the verdict always
+    reflects everything ingested so far and the reference can even be
+    swapped without touching the state. State is O(partitions ×
+    categories), never O(rows); commit/replay/bucket mechanics from
+    :class:`MergeableStateFold`.
+    """
+
+    OP_PREFIX = "cdrift"
+
+    def __init__(self, spark: SparkSession, state_root: str,
+                 partition_col: str, category_col: str,
+                 n_buckets: int = 16):
+        super().__init__(spark, state_root,
+                         [partition_col, category_col], n_buckets)
+        self.partition_col = partition_col
+        self.category_col = category_col
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.groupBy(self.partition_col, self.category_col)
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
+
+    def _merge_exprs(self) -> list[Column]:
+        return [F.sum("cn").alias("cn")]
+
+    def counts(self) -> DataFrame:
+        """Folded (partition, category, cn) counts over everything
+        ingested so far."""
+        return self.table.read().select(
+            self.partition_col, self.category_col, "cn")
+
+    def result(self, ref_df: DataFrame, smooth: float = 0.5,
+               max_psi: float = 0.25,
+               max_categories: int = 10_000) -> DataFrame:
+        """Per-partition Laplace-smoothed PSI of the ingested counts vs
+        ``ref_df`` — the identical formula as the batch family
+        (full-outer category alignment, ``smooth`` added to every
+        aligned cell, k = aligned category count), so the folded verdict
+        equals the batch verdict over the concatenated input
+        (fixed-point pytest). Columns: partition value, ``n_categories``,
+        ``psi`` (null when uncertifiable: an empty side or a category
+        blow-up past ``max_categories``), ``cur_total``, ``ref_total``,
+        ``passed``.
+        """
+        from pyspark.sql import Window as W
+
+        pcol, ccol = self.partition_col, self.category_col
+        cur_c = self.counts()
+        ref_c = ref_df.groupBy(pcol, ccol).agg(F.count(F.lit(1)).alias("rn"))
+        j = (
+            cur_c.join(ref_c, [pcol, ccol], "full_outer")
+            .select(pcol,
+                    F.coalesce("cn", F.lit(0)).alias("cn"),
+                    F.coalesce("rn", F.lit(0)).alias("rn"))
+        )
+        w = W.partitionBy(pcol)
+        j = (j.withColumn("ct", F.sum("cn").over(w))
+              .withColumn("rt", F.sum("rn").over(w))
+              .withColumn("k", F.count(F.lit(1)).over(w)))
+        pc = (F.col("cn") + smooth) / (F.col("ct") + smooth * F.col("k"))
+        pr = (F.col("rn") + smooth) / (F.col("rt") + smooth * F.col("k"))
+        term = (pc - pr) * F.log(pc / pr)
+        agg = j.groupBy(pcol).agg(
+            F.sum(term).alias("_psi"),
+            F.first("ct").alias("cur_total"),
+            F.first("rt").alias("ref_total"),
+            F.first("k").alias("n_categories"),
+        )
+        certifiable = (
+            (F.col("cur_total") > 0) & (F.col("ref_total") > 0)
+            & (F.col("n_categories") <= F.lit(int(max_categories)))
+        )
+        return agg.select(
+            pcol,
+            F.col("n_categories").cast("long").alias("n_categories"),
+            F.when(certifiable, F.col("_psi")).cast("double").alias("psi"),
+            F.col("cur_total").cast("long").alias("cur_total"),
+            F.col("ref_total").cast("long").alias("ref_total"),
+        ).withColumn(
+            "passed",
+            F.coalesce(F.col("psi") <= F.lit(float(max_psi)), F.lit(False)),
         )
