@@ -287,11 +287,26 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
     pairs: DataFrame, k: int = 3,
     shingles_df: DataFrame | None = None,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Jaccard similarity on word k-shingle sets for the given candidate
     (id_a, id_b) pairs — the verify step after LSH. Computed
     set-algebraically: |A∩B| via an exploded shingle equi-join restricted
     to candidate pairs, |A∪B| = |A|+|B|−|A∩B|.
+
+    ``min_jaccard`` arms a DETERMINISTIC size-bound prefilter (round-5
+    verdict item 8): ``|A∩B| ≤ min(|A|,|B|)`` implies ``jaccard ≤
+    min(|A|,|B|) / max(|A|,|B|)``, so a candidate pair whose size ratio
+    is already below the threshold can NEVER qualify and is dropped
+    BEFORE the expensive exploded-shingle intersection join — only its
+    two size ints are ever read. Unlike the signature-estimated-Jaccard
+    band originally proposed (16 minhash agreements ⇒ σ≈0.1 at j=0.2 —
+    any band either misdecides pairs or verifies nearly everything),
+    the size bound is exact, so the surviving-pair OUTPUT is
+    byte-identical to the unfiltered plan filtered at the same
+    threshold (A/B'd in tools/ab_jaccard_sizefilter.py). With
+    ``min_jaccard=None`` every candidate pair is verified and returned
+    (below-threshold rows included), the previous contract.
 
     The intersection join ships 64-bit ``xxhash64`` shingle hashes, not
     the shingle strings (~3× less shuffle), so the result is exact only
@@ -335,6 +350,41 @@ def ngram_jaccard_pairs(
             .withColumn("__n", F.size("__sh"))
         )
     sizes = sh.select("id", "__n")
+
+    if min_jaccard is not None:
+        # size-bound prefilter: attach the two size ints first (a join
+        # against a one-int-per-doc frame — computing __n builds the
+        # shingle arrays but never explodes or shuffles them) and drop
+        # pairs that cannot reach the threshold. The survivors
+        # re-persist so the LSH upstream still runs once, and the
+        # expensive exploded-shingle stage below is then restricted to
+        # docs that still participate in SOME surviving pair.
+        pairs = (
+            pairs
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("__n").alias("na")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("__n").alias("nb")), "id_b")
+            .where(F.least("na", "nb")
+                   >= F.lit(float(min_jaccard)) * F.greatest("na", "nb"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sized = pairs
+        surviving = (
+            pairs.select(F.col("id_a").alias("id"))
+            .union(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(surviving, on="id", how="left_semi")
+    else:
+        sized = (
+            pairs
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("__n").alias("na")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("__n").alias("nb")), "id_b")
+        )
+
     # ship 64-bit shingle hashes through the intersection join instead of
     # the shingle strings: same distinct counts w.h.p., ~3× less shuffle
     # bytes on a real corpus
@@ -346,16 +396,14 @@ def ngram_jaccard_pairs(
     ea = exploded.select(F.col("id").alias("id_a"), "shingle")
     eb = exploded.select(F.col("id").alias("id_b"), "shingle")
     inter = (
-        pairs.join(ea, on="id_a")
+        pairs.select("id_a", "id_b").join(ea, on="id_a")
         .join(eb, on=["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        pairs.join(inter, on=["id_a", "id_b"], how="left")
+        sized.join(inter, on=["id_a", "id_b"], how="left")
         .fillna(0, ["inter"])
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("nb")), "id_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),

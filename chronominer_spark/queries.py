@@ -609,8 +609,12 @@ def q19_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(d, "doc_id", "text", k=3, num_hashes=16,
                               shingles_df=sh)
     pairs = lsh_candidate_pairs(sigs, "doc_id", bands=8, num_hashes=16)
+    # min_jaccard arms the exact size-bound prefilter: candidates whose
+    # shingle-count ratio already proves jaccard < 0.2 never reach the
+    # exploded-shingle intersection join (identical output, A/B'd in
+    # tools/ab_jaccard_sizefilter.py)
     verified = ngram_jaccard_pairs(d, "doc_id", "text", pairs, k=3,
-                                   shingles_df=sh)
+                                   shingles_df=sh, min_jaccard=0.2)
     return verified.where(F.col("jaccard") >= 0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
