@@ -261,10 +261,17 @@ def _run_suite(spark, n_turns: int, fingerprint: bool = False):
     from chronominer_spark.plans.actions import run_concurrent
     t0 = time.time()
     res, vio = ev.evaluate(df, ref, snapshot_id=1)
-    # overlap the two output jobs (FAIR pools): violations reuses the
-    # persisted shares the results job computes, and its independent
-    # stages fill the results job's low-parallelism tails
-    run_concurrent(spark, {"res": res.count, "vio": vio.count})
+    if os.environ.get("CM_SEQ_OUTPUTS") == "1":
+        # A/B switch: the pre-round-6 sequential materialization, for
+        # isolating what the overlap itself buys on a given host/level
+        res.count()
+        vio.count()
+    else:
+        # overlap the two output jobs (FAIR pools): violations reuses
+        # the persisted shares the results job computes, and its
+        # independent stages fill the results job's low-parallelism
+        # tails
+        run_concurrent(spark, {"res": res.count, "vio": vio.count})
     wall = time.time() - t0
 
     fp = None
