@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fail-on-regression", action="store_true",
                     help="with --diff-prev: exit 3 when any (partition, "
                          "constraint) verdict regressed pass -> fail")
+    ap.add_argument("--report", default=None, metavar="DIR",
+                    help="also export this run's human-readable Markdown "
+                         "report (DIR/report.md)")
     args = ap.parse_args(argv)
 
     from chronominer_spark.constraints.spec import default_transcript_suite
@@ -106,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
                          vocab_dfs=default_vocab_dfs(spark, list(TOOL_VOCAB)))
     summary = runner.run(df, ref, snapshot_id=args.snapshot,
                          wave_size=args.wave_size)
+    if args.report:
+        # a fully-skipped rerun wrote no rows under its own run_id:
+        # report the table's current state instead of an empty file
+        runner.export(args.report, fmt="markdown",
+                      run_only=summary.run_id if summary.completed else None)
 
     payload = {
         "status": summary.status,

@@ -4236,6 +4236,58 @@ def q72_incremental_categorical_drift(
                       F.round("psi", 6).alias("psi"))
 
 
+def q73_incremental_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING-semantics heavy hitters, driver-verified: q53's keyed
+    stream ingested as three deterministic micro-batches (event_id % 3)
+    through :class:`IncrementalHeavyHitters`' Misra–Gries fold, then
+    the MERGED summary is checked against the same deterministic heavy
+    set and MG contract as the batch query — mergeable-summaries theory
+    (Agarwal et al. 2012) guarantees the folded summary keeps
+    ``exact − n_total/(k+1) ≤ est ≤ exact`` over everything ingested,
+    for ANY merge tree including this left-deep 3-batch one, so the
+    oracle IS q53's SQL. State is O(k), never O(stream)."""
+    import shutil
+    import tempfile
+
+    from chronominer_spark.streaming.dedup_stream import (
+        IncrementalHeavyHitters,
+    )
+
+    k = 8
+    e = t(spark, sf_dir, "events")
+    keyed = e.select(
+        F.when(F.col("user_id") % 5 == 0, F.lit("hot_a"))
+        .when(F.col("user_id") % 6 == 0, F.lit("hot_b"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("item"),
+        "event_id")
+    root = tempfile.mkdtemp(prefix="cm_q73_")
+    try:
+        inc = IncrementalHeavyHitters(spark, root, "item", k=k)
+        for i in range(3):
+            inc.process_batch(
+                keyed.where(F.pmod(F.col("event_id"), F.lit(3)) == i)
+                .select("item"), i)
+        sketch, n_total = inc.result()
+        sketch = sketch.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    exact = keyed.groupBy("item").agg(F.count(F.lit(1)).alias("exact_count"))
+    heavy = exact.where(F.col("exact_count") * (k + 1) > F.lit(int(n_total)))
+    return (
+        heavy.join(sketch, "item", "left")
+        .select(
+            "item", "exact_count",
+            F.col("est_count").isNotNull().alias("found"),
+            (F.col("est_count").isNotNull()
+             & (F.col("est_count") <= F.col("exact_count"))
+             & ((F.col("exact_count") - F.col("est_count")) * (k + 1)
+                <= F.lit(int(n_total)))).alias("bounds_ok"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -4309,6 +4361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_partition_outliers": q70_partition_outliers,
     "q71_token_budget_audit": q71_token_budget_audit,
     "q72_incremental_categorical_drift": q72_incremental_categorical_drift,
+    "q73_incremental_heavy_hitters": q73_incremental_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -4386,6 +4439,9 @@ ORACLES: dict[str, str] = {
     # fixed-point contract: the incremental fold must land exactly on
     # the batch PSI, so q72's oracle IS q58's SQL (as q43's is q17's)
     "q72_incremental_categorical_drift": _Q58_SQL,
+    # the merged MG summary obeys the same deterministic heavy set +
+    # bounded-error contract as the batch sketch (mergeable summaries)
+    "q73_incremental_heavy_hitters": _Q53_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

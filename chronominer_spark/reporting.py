@@ -116,3 +116,103 @@ def flag_partition_outliers(
              > F.lit(k) * F.col("fleet_mad")).alias("is_outlier"),
         )
     )
+
+
+def render_markdown_report(
+    results: DataFrame,
+    violations: DataFrame | None = None,
+    title: str = "Validation report",
+    max_failed_rows: int = 50,
+    max_sample_violations: int = 20,
+) -> str:
+    """Human-readable Markdown report over one run's result tables —
+    the analog of the reference's Markdown metrics rendering
+    (``/root/reference/eval/metrics.py:677-746`` format_metrics_table),
+    re-targeted at constraint verdicts.
+
+    Sections: run header (rows checked, verdict totals), a
+    per-constraint summary table (partitions, failed partitions, rows
+    checked, violations, worst partition by violation count), the
+    failed (partition, constraint) verdicts, and a sample of violation
+    rows with lineage.
+
+    Scale posture: everything rendered derives from the results table
+    (O(partitions × constraints)) plus a bounded ``limit()`` sample of
+    violations — the collects are driver-side by design and bounded,
+    never O(rows validated)."""
+    res = results.select(
+        "partition_id", "constraint_id", "passed",
+        "rows_checked", "violation_count").cache()
+    try:
+        total = res.count()
+        failed = res.where(~F.col("passed")).count()
+        rows_checked = (res.groupBy("constraint_id")
+                        .agg(F.sum("rows_checked").alias("n"))
+                        .agg(F.max("n")).collect()[0][0]) or 0
+
+        lines = [f"# {title}", ""]
+        lines += [
+            f"- result rows (partition × constraint): **{total}**",
+            f"- failed verdicts: **{failed}**"
+            + (" ✅" if failed == 0 else " ❌"),
+            f"- rows checked (max per constraint): **{rows_checked:,}**",
+            "",
+            "## Per-constraint summary", "",
+            "| constraint | partitions | failed | rows checked "
+            "| violations | worst partition |",
+            "|---|---|---|---|---|---|",
+        ]
+        per_c = (
+            res.groupBy("constraint_id")
+            .agg(F.count(F.lit(1)).alias("parts"),
+                 F.sum((~F.col("passed")).cast("long")).alias("failed"),
+                 F.sum("rows_checked").alias("rows"),
+                 F.sum("violation_count").alias("vios"),
+                 F.max(F.struct("violation_count", "partition_id"))
+                 .alias("worst"))
+            .orderBy("constraint_id").collect()
+        )
+        for r in per_c:
+            worst = (r["worst"]["partition_id"]
+                     if r["worst"] and (r["worst"]["violation_count"] or 0) > 0
+                     else "—")
+            lines.append(
+                f"| `{r['constraint_id']}` | {r['parts']} | {r['failed']} "
+                f"| {r['rows'] or 0:,} | {r['vios'] or 0:,} | {worst} |")
+
+        bad = (res.where(~F.col("passed"))
+               .orderBy("constraint_id", "partition_id")
+               .limit(max_failed_rows).collect())
+        lines += ["", "## Failed verdicts", ""]
+        if not bad:
+            lines.append("none 🎉")
+        else:
+            lines += ["| partition | constraint | violations |", "|---|---|---|"]
+            lines += [f"| {r['partition_id']} | `{r['constraint_id']}` "
+                      f"| {r['violation_count'] or 0:,} |" for r in bad]
+            if len(bad) == max_failed_rows:
+                lines.append(f"| … | truncated at {max_failed_rows} rows | |")
+
+        if violations is not None:
+            sample = (violations
+                      .orderBy("partition_id", "constraint_id",
+                               "conv_id", "turn_idx")
+                      .limit(max_sample_violations).collect())
+            lines += ["", "## Violation sample "
+                          f"(first {max_sample_violations} by lineage)", ""]
+            if not sample:
+                lines.append("none")
+            else:
+                lines += ["| partition | constraint | conv | turn "
+                          "| column | value | detail |",
+                          "|---|---|---|---|---|---|---|"]
+                for r in sample:
+                    val = (str(r["value"])[:40].replace("|", "\\|")
+                           if r["value"] is not None else "∅")
+                    lines.append(
+                        f"| {r['partition_id']} | `{r['constraint_id']}` "
+                        f"| {r['conv_id']} | {r['turn_idx']} | {r['column']} "
+                        f"| {val} | {r['detail'] or ''} |")
+        return "\n".join(lines) + "\n"
+    finally:
+        res.unpersist()

@@ -261,5 +261,15 @@ class SuiteRunner:
         elif fmt == "jsonl":
             write_jsonl(res, _os.path.join(path, "results"))
             write_jsonl(vio, _os.path.join(path, "violations"))
+        elif fmt == "markdown":
+            # human-readable single-file report (the reference's
+            # Markdown metrics rendering, eval/metrics.py:677-746)
+            from chronominer_spark.reporting import render_markdown_report
+
+            _os.makedirs(path, exist_ok=True)
+            md = render_markdown_report(res, vio)
+            with open(_os.path.join(path, "report.md"), "w",
+                      encoding="utf-8") as f:
+                f.write(md)
         else:
             raise ValueError(f"unknown export format: {fmt!r}")

@@ -225,3 +225,41 @@ def test_runner_export_run_scoped_violations(spark, transcripts, ref_snapshot,
     assert runner.violations(run_only="runA").count() == 0 or \
         {r["run_id"] for r in runner.violations(run_only="runA")
          .select("run_id").distinct().collect()} == {"runA"}
+
+
+def test_runner_export_markdown_report(spark, transcripts, ref_snapshot,
+                                       tmp_path):
+    """fmt='markdown' renders the single-file human-readable report
+    (the reference's Markdown metrics rendering): run header,
+    per-constraint summary table, failed verdicts, violation sample —
+    and the generator's planted damage must actually surface in it."""
+    from chronominer_spark.constraints.spec import (
+        default_transcript_suite,
+        default_vocab_dfs,
+    )
+    from chronominer_spark.datagen import ROLE_VOCAB, TOOL_VOCAB
+    from chronominer_spark.runner import SuiteRunner
+
+    runner = SuiteRunner(
+        spark,
+        default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB)),
+        str(tmp_path / "run_out"),
+        vocab_dfs=default_vocab_dfs(spark, list(TOOL_VOCAB)),
+    )
+    runner.run(transcripts, ref_snapshot, snapshot_id=1)
+    runner.export(str(tmp_path / "md"), fmt="markdown")
+
+    report = (tmp_path / "md" / "report.md").read_text(encoding="utf-8")
+    assert report.startswith("# Validation report")
+    assert "## Per-constraint summary" in report
+    assert "## Failed verdicts" in report
+    assert "## Violation sample" in report
+    # the planted bad-role / dup-key damage shows as failed verdicts
+    # with their constraint ids in the table
+    assert "`unique:conv_id,turn_idx`" in report or "unique:" in report
+    assert "| conv-" in report  # violation lineage carries conv ids
+    # every summary row renders a well-formed 6-column table line
+    import re
+    rows = [ln for ln in report.splitlines()
+            if ln.startswith("| `") and ln.count("|") == 7]
+    assert len(rows) >= 10  # the default suite has 17 constraints
