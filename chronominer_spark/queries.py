@@ -4288,6 +4288,61 @@ def q73_incremental_heavy_hitters(
     )
 
 
+def q74_incremental_tdigest_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING-semantics t-digest quantiles, driver-verified: q29's
+    per-event-type quantile sketch maintained INCREMENTALLY — events
+    ingested as three deterministic micro-batches (event_id % 3)
+    through :class:`IncrementalQuantileDigest`'s centroid-array fold —
+    then checked against q29's exact-quantile bounded-error contract
+    (t-digest merges are mergeable summaries, so the folded digest
+    stays inside the sketch's error envelope over everything ingested;
+    unlike the count-fold twins the fixed point is BOUNDED, not exact,
+    because compression is lossy — hence the contract oracle rather
+    than a value oracle). Oracle IS q29's SQL. State per partition is
+    ≤δ centroids, never O(rows)."""
+    import shutil
+    import tempfile
+
+    from chronominer_spark.streaming.dedup_stream import (
+        IncrementalQuantileDigest,
+    )
+
+    e = t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="cm_q74_")
+    try:
+        inc = IncrementalQuantileDigest(spark, root, "event_type", "value")
+        for i in range(3):
+            inc.process_batch(
+                e.where(F.pmod(F.col("event_id"), F.lit(3)) == i), i)
+        td = inc.quantiles(_Q29_QS).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    exact = (
+        e.groupBy(F.col("event_type").alias("part"))
+        .agg(F.percentile("value", _Q29_QS).alias("__ps"))
+        .select(
+            "part",
+            F.explode(F.arrays_zip(
+                F.array(*[F.lit(q) for q in _Q29_QS]).alias("q"),
+                F.col("__ps").alias("exact"),
+            )).alias("z"),
+        )
+        .select("part", F.col("z.q").alias("q"), F.col("z.exact").alias("exact"))
+    )
+    return (
+        td.join(exact, ["part", "q"])
+        .select(
+            "part", "q",
+            F.round("exact", 4).alias("exact_value"),
+            ((F.abs(F.col("value") - F.col("exact"))
+              / F.greatest(F.abs(F.col("exact")), F.lit(1.0)))
+             <= _Q29_REL_BOUND).alias("within_bound"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_doc_profile": q02_doc_profile,
@@ -4362,6 +4417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_token_budget_audit": q71_token_budget_audit,
     "q72_incremental_categorical_drift": q72_incremental_categorical_drift,
     "q73_incremental_heavy_hitters": q73_incremental_heavy_hitters,
+    "q74_incremental_tdigest_quantiles": q74_incremental_tdigest_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -4442,6 +4498,8 @@ ORACLES: dict[str, str] = {
     # the merged MG summary obeys the same deterministic heavy set +
     # bounded-error contract as the batch sketch (mergeable summaries)
     "q73_incremental_heavy_hitters": _Q53_SQL,
+    # the folded digest obeys the batch sketch's bounded-error contract
+    "q74_incremental_tdigest_quantiles": _Q29_SQL,
     # Every catalog query is oracle-backed. q31's TRAINERS (driver Lloyd
     # and MLlib k-means||) remain pytest-covered (recall vs brute force):
     # their float-summation order is legitimately engine-specific — but

@@ -127,6 +127,18 @@ class MergeableStateFold(StreamFoldBase):
         partial rows grouped by the key columns."""
         raise NotImplementedError
 
+    def _merge(self, union_df: DataFrame) -> DataFrame:
+        """Collapse the state∪partial union back to one row per key
+        (must carry ``__bucket`` through). Default: the SQL-aggregate
+        merge from :meth:`_merge_exprs`; twins whose state is not a
+        plain SQL aggregate (e.g. t-digest centroid arrays) override
+        this with an ``applyInPandas`` fold instead."""
+        return (
+            union_df.groupBy(*self.key_cols)
+            .agg(*self._merge_exprs(),
+                 F.first("__bucket").alias("__bucket"))
+        )
+
     # -- fold-commit skeleton -----------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         op = f"{self.OP_PREFIX}_batch={batch_id}"
@@ -144,12 +156,7 @@ class MergeableStateFold(StreamFoldBase):
                        partial.select("__bucket").distinct().collect()]
             state_touched = self.table.read().where(
                 F.col("__bucket").isin(touched))
-            merged = (
-                state_touched.unionByName(partial)
-                .groupBy(*self.key_cols)
-                .agg(*self._merge_exprs(),
-                     F.first("__bucket").alias("__bucket"))
-            )
+            merged = self._merge(state_touched.unionByName(partial))
             self.table.write_snapshot_partial(
                 merged, "__bucket", touched, operation=op)
         else:
@@ -616,3 +623,133 @@ class IncrementalCategoricalDrift(MergeableStateFold):
             "passed",
             F.coalesce(F.col("psi") <= F.lit(float(max_psi)), F.lit(False)),
         )
+
+
+class IncrementalQuantileDigest(MergeableStateFold):
+    """Streaming twin of the t-digest quantile path
+    (``constraints/tdigest.py:tdigest_quantiles``, the engine's
+    ``quantiles`` / ``drift_quantile`` substrate): per-partition
+    quantile STATE maintained across micro-batches as t-digest centroid
+    arrays.
+
+    T-digests are mergeable summaries: each batch compresses to ≤δ
+    centroids per partition (vectorized numpy inside ``applyInPandas``),
+    and the fold concatenates centroid arrays and re-compresses — so
+    state is O(partitions × δ), never O(rows), and per-batch exchange
+    volume is centroids, not values. Unlike the count-fold twins the
+    fixed point is BOUNDED, not exact: t-digest compression is lossy
+    and pairwise-merge order changes centroids, so the folded digest's
+    quantiles agree with the batch digest (and the exact quantiles)
+    only within the sketch's rank-error envelope — the same checkable
+    contract q29 uses for the batch sketch (pytest + q74 oracle).
+    Commit/replay/bucket mechanics from :class:`MergeableStateFold`;
+    the merge step overrides :meth:`_merge` with a pandas fold.
+    """
+
+    OP_PREFIX = "tdigest"
+
+    def __init__(self, spark: SparkSession, state_root: str,
+                 partition_col: str, value_expr: str,
+                 delta: int = 200, n_buckets: int = 16):
+        super().__init__(spark, state_root, ["part"], n_buckets)
+        self.partition_col = partition_col
+        self.value_expr = value_expr
+        self.delta = delta
+
+    _STATE_DDL = ("part string, means array<double>, "
+                  "weights array<double>")
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from chronominer_spark.constraints.tdigest import _compress
+
+        delta = self.delta
+        vals = batch_df.select(
+            F.col(self.partition_col).cast("string").alias("part"),
+            F.expr(self.value_expr).cast("double").alias("v"),
+            F.spark_partition_id().alias("_split"),
+        ).where(F.col("v").isNotNull())
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            v = pdf["v"].to_numpy(dtype=float)
+            m, w = _compress(v, np.ones_like(v), delta)
+            return pd.DataFrame({"part": [pdf["part"].iloc[0]],
+                                 "means": [m.tolist()],
+                                 "weights": [w.tolist()]})
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.concatenate([np.asarray(x) for x in pdf["means"]])
+            w = np.concatenate([np.asarray(x) for x in pdf["weights"]])
+            m, w = _compress(m, w, delta)
+            return pd.DataFrame({"part": [pdf["part"].iloc[0]],
+                                 "means": [m.tolist()],
+                                 "weights": [w.tolist()]})
+
+        partials = vals.groupBy("part", "_split").applyInPandas(
+            build, self._STATE_DDL)
+        return partials.groupBy("part").applyInPandas(
+            fold, self._STATE_DDL)
+
+    def _merge(self, union_df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from chronominer_spark.constraints.tdigest import _compress
+
+        delta = self.delta
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.concatenate([np.asarray(x) for x in pdf["means"]])
+            w = np.concatenate([np.asarray(x) for x in pdf["weights"]])
+            m, w = _compress(m, w, delta)
+            return pd.DataFrame({"part": [pdf["part"].iloc[0]],
+                                 "means": [m.tolist()],
+                                 "weights": [w.tolist()],
+                                 "__bucket": [pdf["__bucket"].iloc[0]]})
+
+        return union_df.groupBy("part").applyInPandas(
+            fold, self._STATE_DDL + ", __bucket long")
+
+    def quantiles(self, qs: list[float]) -> DataFrame:
+        """Per-partition quantile estimates from the folded state:
+        (part, q, value), one row per requested quantile."""
+        import numpy as np
+        import pandas as pd
+
+        from chronominer_spark.constraints.tdigest import _quantile
+
+        qs_arr = list(qs)
+
+        def interp(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.asarray(pdf["means"].iloc[0])
+            w = np.asarray(pdf["weights"].iloc[0])
+            return pd.DataFrame({
+                "part": pdf["part"].iloc[0], "q": qs_arr,
+                "value": [_quantile(m, w, q) for q in qs_arr]})
+
+        return self.table.read().groupBy("part").applyInPandas(
+            interp, "part string, q double, value double")
+
+    def result(self, ref_df: DataFrame, qs: list[float],
+               max_abs_shift: float) -> DataFrame:
+        """Quantile DRIFT verdict of the ingested stream vs a reference
+        frame (the ``drift_quantile`` posture): per (partition, q), the
+        folded estimate, the reference's t-digest estimate, and
+        ``passed`` = |shift| ≤ ``max_abs_shift``. A partition on only
+        one side is uncertifiable (null shift, failed)."""
+        from chronominer_spark.constraints.tdigest import tdigest_quantiles
+
+        cur = self.quantiles(qs)
+        ref = tdigest_quantiles(
+            ref_df, self.partition_col, self.value_expr, qs,
+            delta=self.delta).withColumnRenamed("value", "ref_value")
+        j = cur.withColumnRenamed("value", "cur_value") \
+            .join(ref, ["part", "q"], "full_outer")
+        shift = F.abs(F.col("cur_value") - F.col("ref_value"))
+        return j.select(
+            "part", "q", "cur_value", "ref_value",
+            shift.alias("abs_shift"),
+            F.coalesce(shift <= F.lit(float(max_abs_shift)),
+                       F.lit(False)).alias("passed"))
