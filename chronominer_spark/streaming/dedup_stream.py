@@ -1,8 +1,11 @@
-"""Incremental (streaming) exact deduplication — the streaming twin of
-:func:`chronominer_spark.operators.dedup.exact_dedup`.
+"""Incremental (streaming) twins of the batch operators/families —
+exact dedup, near-dup LSH, heavy hitters, FD audit, group-agg audit,
+categorical drift, t-digest quantiles — built on one shared
+fold-commit harness (:class:`MergeableStateFold`).
 
 A curation pipeline does not ingest its corpus in one batch: documents
-arrive continuously, and "keep the first copy of each distinct content"
+arrive continuously, and every invariant ("keep the first copy of each
+distinct content", "determinant → one dependent", "budget per group")
 must hold ACROSS micro-batches — a new batch's duplicates of an
 already-seen content key are losers, whatever order the batches came in.
 
