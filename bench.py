@@ -258,20 +258,22 @@ def _run_suite(spark, n_turns: int, fingerprint: bool = False):
     from chronominer_spark.constraints.spec import default_vocab_dfs
     suite = default_transcript_suite(list(ROLE_VOCAB), list(TOOL_VOCAB))
     ev = SuiteEvaluator(spark, suite, default_vocab_dfs(spark, list(TOOL_VOCAB)))
-    from chronominer_spark.plans.actions import run_concurrent
     t0 = time.time()
     res, vio = ev.evaluate(df, ref, snapshot_id=1)
-    if os.environ.get("CM_SEQ_OUTPUTS") == "1":
-        # A/B switch: the pre-round-6 sequential materialization, for
-        # isolating what the overlap itself buys on a given host/level
+    if os.environ.get("CM_CONCURRENT_OUTPUTS") == "1":
+        # opt-in overlap of the two output jobs (FAIR pools). Measured
+        # round 6: at 8M the gain is inside between-draw noise, and at
+        # 80M it is a 9% LOSS (455 s sequential vs 500 s concurrent,
+        # identical fps) — the concurrent violations job re-computes
+        # the persisted shares the results job is still building
+        # (BlockManager admits the duplicate work), and at 10× input
+        # those shares are expensive. Sequential res-then-vio lets vio
+        # read the populated cache — hence the default.
+        from chronominer_spark.plans.actions import run_concurrent
+        run_concurrent(spark, {"res": res.count, "vio": vio.count})
+    else:
         res.count()
         vio.count()
-    else:
-        # overlap the two output jobs (FAIR pools): violations reuses
-        # the persisted shares the results job computes, and its
-        # independent stages fill the results job's low-parallelism
-        # tails
-        run_concurrent(spark, {"res": res.count, "vio": vio.count})
     wall = time.time() - t0
 
     fp = None

@@ -12,9 +12,18 @@ tools/profile_serial.py).
 its own FAIR scheduler pool, so Spark interleaves the jobs' stages and
 one job's tail overlaps the other's head. This is driver-side *job*
 concurrency only — no shared mutable state beyond Spark's own
-BlockManager, which already serializes duplicate computation of a
-persisted partition (first computer wins, others read the cached
-block).
+BlockManager (first computer of a persisted partition wins the store;
+concurrent siblings may still DUPLICATE the compute before the block
+lands).
+
+MEASURED CAVEAT (round 6): for jobs that share not-yet-materialized
+persisted frames, that duplicate compute is a real cost — the suite's
+results+violations pair measured a ~9% LOSS at 80M turns (455 s
+sequential vs 500 s overlapped, identical outputs) while the 8M gain
+sat inside between-draw noise. The engine therefore materializes
+results THEN violations by default (cache-populate-then-read) and this
+helper is an opt-in (`CM_CONCURRENT_OUTPUTS=1` in bench.py) for job
+pairs that share nothing or whose shares are already materialized.
 
 Thread-safety note: PySpark pins each Python thread to a distinct JVM
 thread (``PYSPARK_PIN_THREAD``, default on since 3.2), so

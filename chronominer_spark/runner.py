@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from chronominer_spark.checkpoint import CheckpointManifest
 from chronominer_spark.constraints.engine import SuiteEvaluator
 from chronominer_spark.constraints.spec import ConstraintSuite
-from chronominer_spark.plans.actions import run_concurrent
 
 log = logging.getLogger(__name__)
 
@@ -169,10 +168,14 @@ class SuiteRunner:
             )
             self.manifest.save_strategy_decisions(
                 snapshot_id, suite_hash, self.evaluator.strategy_cache)
-            jobs = {
-                "results": (lambda r=res: self._write(
-                    self._stamp(r, run_id), self.results_path)),
-            }
+            # results are written BEFORE violations on purpose: the
+            # first job populates the evaluator's persisted shares and
+            # the second reads them from cache. Overlapping the two
+            # (plans/actions.run_concurrent) was measured in round 6:
+            # gain inside noise at 8M, a 9% LOSS at 80M — the
+            # concurrent sibling re-computes shares the first job is
+            # still building. Sequential is the scale-safe order.
+            self._write(self._stamp(res, run_id), self.results_path)
             if with_violations:
                 # dynamic partition overwrite only replaces partition dirs
                 # PRESENT in the frame: a re-validated partition that now
@@ -182,12 +185,7 @@ class SuiteRunner:
                 vio = vio.unionByName(
                     self._violation_sentinels(vio, pids, snapshot_id)
                 )
-                jobs["violations"] = (lambda v=vio: self._write(
-                    self._stamp(v, run_id), self.violations_path))
-            # the two sinks are independent paths: overlap their jobs so
-            # one write's low-parallelism tail (commit, final aggregates)
-            # runs under the other's scan (plans/actions.py)
-            run_concurrent(self.spark, jobs)
+                self._write(self._stamp(vio, run_id), self.violations_path)
             self.evaluator.unpersist_all()
             self.manifest.mark_completed(pids, snapshot_id, suite_hash, run_id)
             summary.completed.extend(pids)
