@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -75,12 +77,16 @@ def brute_force_topk(
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cv"))
+    # Arrow/numpy cosine (guide §4.2): one einsum per batch instead of
+    # ~3·dim interpreted lambda evals per (query, corpus) pair; the
+    # surrounding F.round keeps Spark's HALF_UP rounding byte-identical
+    cos = _np_cosine_udf()
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6),
+            F.round(cos(F.col("__qv"), F.col("__cv")), 6),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -142,7 +148,10 @@ def _broadcast_nested(
 def _sketch_buckets(vec_col, planes_col: str) -> F.Column:
     """array<string> of per-table bucket keys ('t<i>:<bits>') for a
     vector, computed against the broadcast plane tensor
-    (tables × bits × dim)."""
+    (tables × bits × dim). Reference (pure-Catalyst) formulation; the
+    hot path uses :func:`_np_sketch_udf`, whose semantics mirror this
+    expression bit for bit — kept for the A/B harness and as the
+    executable spec."""
     v = F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x: x.cast("double"),
@@ -168,6 +177,110 @@ def _sketch_buckets(vec_col, planes_col: str) -> F.Column:
     )
 
 
+def _np_sketch_udf(planes: list[list[list[float]]]):
+    """Vectorized (Arrow + numpy) twin of :func:`_sketch_buckets`: one
+    (n × dim) @ (dim × tables·bits) matmul per Arrow batch instead of
+    tables × bits interpreted ``aggregate``/``zip_with`` folds per row
+    (guide §4.2 — measured 15 s → <1 s on the 22k-vector sf1.0
+    bucketize stage). The plane matrix rides in the UDF closure
+    (tables·bits·dim doubles — ~30 KB for every configuration used
+    here), NOT as plan literals.
+
+    Semantics mirror the Catalyst fold exactly:
+    - sign bit '1' iff dot >= 0, and NaN dots give '1' (Spark orders
+      NaN above every double, so ``NaN >= 0`` is true);
+    - a NULL vector or a length-mismatched vector yields the all-'0'
+      bucket in every table (the fold's null-propagation collapses to
+      the ``otherwise('0')`` branch for every bit);
+    - float32 inputs are widened to float64 before the product, the
+      same as the fold's element-wise ``cast("double")``.
+    Caveat (documented, untested upstream): a NULL *element* inside a
+    vector arrives as NaN through Arrow and is sketched as NaN (bit
+    '1') rather than the fold's '0' — no caller produces null elements.
+    """
+    P = np.asarray(planes, dtype=np.float64)            # (T, B, D)
+    n_tables, n_bits, dim = P.shape
+    M = np.ascontiguousarray(P.reshape(n_tables * n_bits, dim).T)
+    zero_key = [f"t{t}:" + "0" * n_bits for t in range(n_tables)]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sketch(vs: pd.Series) -> pd.Series:
+        out: list = [None] * len(vs)
+        clean_idx: list[int] = []
+        clean_rows: list = []
+        for i, v in enumerate(vs):
+            if v is None or len(v) != dim:
+                out[i] = zero_key
+            else:
+                clean_idx.append(i)
+                clean_rows.append(v)
+        if clean_rows:
+            x = np.asarray(clean_rows, dtype=np.float64)     # (n, D)
+            s = x @ M                                        # (n, T*B)
+            bits = np.where((s >= 0) | np.isnan(s), "1", "0")
+            for j, i in enumerate(clean_idx):
+                row = bits[j]
+                out[i] = [
+                    f"t{t}:" + "".join(row[t * n_bits:(t + 1) * n_bits])
+                    for t in range(n_tables)
+                ]
+        return pd.Series(out)
+
+    return sketch
+
+
+def _np_cosine_udf():
+    """Vectorized (Arrow + numpy) twin of :func:`cosine_similarity`,
+    returning the RAW double (callers keep their own ``F.round`` on
+    top, preserving Spark's HALF_UP rounding). One einsum per Arrow
+    batch instead of ~3·dim interpreted lambda evaluations per row
+    (guide §4.2 — the q35 verify stage over 3.7M candidate pairs spent
+    ~30 s in the fold).
+
+    Semantics mirror the expression exactly:
+    - float32 widened to float64 before any product (the fold casts
+      element-wise);
+    - ``d = |a|·|b| == 0`` → 0.0 (zero-length arrays included);
+    - NULL on either side → NULL;
+    - length mismatch → the fold's zip_with null-padding makes the dot
+      NULL, so: 0.0 if d == 0 else NULL;
+    - NaN elements propagate to a NaN cosine (d is NaN, ``NaN == 0``
+      is false, NaN/NaN = NaN), identical to the fold.
+    """
+    def _one(va, vb):
+        if va is None or vb is None:
+            return None
+        a = np.asarray(va, dtype=np.float64)
+        b = np.asarray(vb, dtype=np.float64)
+        d = float(np.sqrt((a * a).sum()) * np.sqrt((b * b).sum()))
+        if d == 0.0:
+            return 0.0
+        if a.shape[0] != b.shape[0]:
+            return None                      # zip_with null-padded dot
+        return float(a @ b) / d
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        try:
+            x = np.stack(a.values).astype(np.float64, copy=False)
+            y = np.stack(b.values).astype(np.float64, copy=False)
+        except (ValueError, TypeError):
+            # ragged lengths or NULL rows in this batch: exact per-row
+            # fallback (never hit by fixed-dim embedding tables)
+            return pd.Series([_one(va, vb) for va, vb in zip(a, b)],
+                             dtype="float64")
+        dots = np.einsum("ij,ij->i", x, y)
+        d = np.sqrt(np.einsum("ij,ij->i", x, x)) \
+            * np.sqrt(np.einsum("ij,ij->i", y, y))
+        nz = d != 0
+        out = np.zeros(len(a), dtype=np.float64)
+        np.divide(dots, d, out=out, where=nz)
+        out[~nz] = 0.0
+        return pd.Series(out)
+
+    return cos
+
+
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -175,6 +288,7 @@ def lsh_topk(
     seed: int = 42,
     max_bucket_size: int | None = 10_000,
     plane_scheme: str = "md5_uniform",
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus rows sharing any
     sketch-table bucket with the query; exact cosine + rank inside the
@@ -192,32 +306,50 @@ def lsh_topk(
     exactly once per surviving pair (the same pattern as
     ``dedup.lsh_candidate_pairs``). Carrying vectors through the
     candidate set multiplied shuffle/checkpoint bytes by 2×dim per pair
-    and caused a measured 2× regression at sf0.1."""
+    and caused a measured 2× regression at sf0.1.
+
+    When ``queries is corpus`` (the near-dup self-join), the corpus is
+    sketched ONCE and the persisted (id, bucket) frame serves both join
+    sides — the second full sketch pass of the identical plan was pure
+    duplicate compute (guide §1.2: don't compute things twice).
+
+    ``broadcast_vectors=True`` broadcast-hints the two vector re-attach
+    joins (guide §3.1): correct when the caller KNOWS the id→vector
+    side fits executor memory (e.g. a dimension-table-sized embedding
+    set); the candidate pair set then crosses no exchange until the
+    final ranking window. Leave False when the corpus is
+    unbounded — the joins then shuffle pairs by id, which is the
+    scale-safe default."""
     planes = [
         [_hyperplane(seed, t, b, dim, plane_scheme) for b in range(n_bits)]
         for t in range(n_tables)
     ]
+    sketch = _np_sketch_udf(planes)
 
     def bucketize(df: DataFrame, name: str) -> DataFrame:
         # only (id, bucket) leaves this projection — the vector is
         # consumed by the sketch and projected away before any shuffle
-        with_planes = _broadcast_nested(
-            df.select(F.col(id_col).alias(name),
-                      F.col(vec_col).alias(f"__{name}_v")),
-            "__planes", planes, depth=3,
-        )
-        return with_planes.select(
-            name,
-            F.explode(_sketch_buckets(f"__{name}_v", "__planes")).alias("bucket"),
+        return df.select(
+            F.col(id_col).alias(name),
+            F.explode(sketch(F.col(vec_col))).alias("bucket"),
         )
 
-    qb = bucketize(queries, "query_id")
+    self_join = queries is corpus
     cb = bucketize(corpus, "neighbor_id")
 
     cached = None
     if max_bucket_size is not None:
         from pyspark import StorageLevel
         cached = cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+    # the query side reuses the corpus sketch verbatim on a self-join
+    # (same ids, same planes — only the column name differs); with the
+    # guard armed the persisted frame makes the reuse physical — the
+    # corpus is sketched ONCE instead of twice
+    qb = (
+        cb.select(F.col("neighbor_id").alias("query_id"), "bucket")
+        if self_join else bucketize(queries, "query_id")
+    )
+    if max_bucket_size is not None:
         sizes = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsz"))
         dropped = (
             sizes.where(F.col("__bsz") > max_bucket_size)
@@ -251,26 +383,26 @@ def lsh_topk(
         # GC, unlike CacheManager entries.
         cand = cand.localCheckpoint(eager=True)
         cached.unpersist()
-    # re-attach vectors by key, once per surviving candidate pair; AQE
-    # broadcasts whichever side is small enough (the query side usually
-    # is; for self-join near-dup use both sides shuffle by key — still
-    # linear in candidates, never in the corpus cross product)
-    cand = (
-        cand
-        .join(queries.select(F.col(id_col).alias("query_id"),
-                             F.col(vec_col).alias("__query_id_v")),
-              on="query_id")
-        .join(corpus.select(F.col(id_col).alias("neighbor_id"),
-                            F.col(vec_col).alias("__neighbor_id_v")),
-              on="neighbor_id")
-    )
+    # re-attach vectors by key, once per surviving candidate pair; with
+    # broadcast_vectors the id→vector sides are broadcast (caller-known
+    # bounded) so the pair set crosses no exchange here; otherwise both
+    # sides shuffle by key — still linear in candidates, never in the
+    # corpus cross product
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__query_id_v"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__neighbor_id_v"))
+    if broadcast_vectors:
+        qv, nv = F.broadcast(qv), F.broadcast(nv)
+    cand = cand.join(qv, on="query_id").join(nv, on="neighbor_id")
     # rank on ROUNDED cosine (ties broken by neighbor_id) so float noise
     # below the 6th decimal can never flip an ordering across engines or
     # parallelism levels
+    cos = _np_cosine_udf()
     scored = cand.withColumn(
         "cosine",
-        F.round(cosine_similarity(F.col("__query_id_v"),
-                                  F.col("__neighbor_id_v")), 6),
+        F.round(cos(F.col("__query_id_v"),
+                    F.col("__neighbor_id_v")), 6),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -287,13 +419,16 @@ def embedding_near_dups(
     threshold: float = 0.95, dim: int = 16, n_tables: int = 6,
     n_bits: int = 10, seed: int = 7,
     plane_scheme: str = "md5_uniform",
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, via the same
-    hyperplane bucketing (self-join) + exact verify."""
+    hyperplane bucketing (self-join) + exact verify. The self-join path
+    sketches the corpus once (see :func:`lsh_topk`);
+    ``broadcast_vectors`` passes through to the verify re-attach."""
     pairs = lsh_topk(
         df, df, id_col=id_col, vec_col=vec_col, k=50,
         dim=dim, n_tables=n_tables, n_bits=n_bits, seed=seed,
-        plane_scheme=plane_scheme,
+        plane_scheme=plane_scheme, broadcast_vectors=broadcast_vectors,
     )
     return (
         pairs.where((F.col("cosine") >= threshold)

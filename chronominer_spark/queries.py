@@ -731,9 +731,13 @@ def q21_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("embedding").alias("cv")))
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
-    from chronominer_spark.operators.similarity import cosine_similarity
+    # Arrow/numpy cosine (guide §4.2) — same math as cosine_similarity,
+    # one einsum per batch instead of ~3·dim interpreted lambda evals
+    # per pair; F.round on top keeps Spark's HALF_UP rounding
+    from chronominer_spark.operators.similarity import _np_cosine_udf
+    cos = _np_cosine_udf()
     scored = scored.withColumn(
-        "cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+        "cosine", F.round(cos(F.col("qv"), F.col("cv")), 6)
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -926,8 +930,10 @@ def q26_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
     dim = len(emb.select("embedding").first()["embedding"])
+    # broadcast_vectors: embeddings is dimension-table-sized — the
+    # candidate re-attach broadcasts the id→vector sides (guide §3.1)
     return lsh_topk(q, emb, k=3, dim=dim, n_bits=4, n_tables=8,
-                    plane_scheme="rademacher_md5")
+                    plane_scheme="rademacher_md5", broadcast_vectors=True)
 
 
 # Faithful mirror of q26: the Rademacher-md5 plane signs are re-derived
@@ -1404,9 +1410,13 @@ def q35_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = base.unionByName(planted)
+    # broadcast_vectors: the embeddings table is dimension-table-sized
+    # (the id→vector side fits executor memory with room to spare), so
+    # the 3.7M-pair verify re-attach at sf1.0 runs as two broadcast
+    # hash joins instead of shuffling the pair set twice (guide §3.1)
     return embedding_near_dups(
         corpus, threshold=0.99, dim=64, n_tables=6, n_bits=10, seed=7,
-        plane_scheme="rademacher_md5",
+        plane_scheme="rademacher_md5", broadcast_vectors=True,
     ).orderBy("id_a")
 
 

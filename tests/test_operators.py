@@ -759,3 +759,77 @@ def test_flag_partition_outliers_median_mad(spark):
     # MAD=0: the strict reading — any deviation is an outlier
     assert got[("c2", "p9")]["is_outlier"] and got[("c2", "p9")]["fleet_mad"] == 0.0
     assert not got[("c2", "p0")]["is_outlier"]
+
+
+def test_np_sketch_and_cosine_match_catalyst_fold(spark):
+    """Round-7 optimization guard: the Arrow/numpy twins of the LSH
+    sketch (_np_sketch_udf) and cosine (_np_cosine_udf) must reproduce
+    the pure-Catalyst fold expressions bit for bit — including the
+    edge semantics the fold defines implicitly: NULL vector and
+    length-mismatched vector sketch to the all-'0' bucket in every
+    table; NULL on either cosine side -> NULL; zero-norm product
+    -> 0.0; length mismatch with nonzero norms -> NULL (zip_with
+    null-padding); float32 inputs widened to double before products."""
+    from pyspark.sql import functions as F
+
+    from chronominer_spark.operators.similarity import (
+        _broadcast_nested,
+        _hyperplane,
+        _np_cosine_udf,
+        _np_sketch_udf,
+        _sketch_buckets,
+        cosine_similarity,
+    )
+
+    import hashlib
+    rows = []
+    for i in range(40):
+        v = [(hashlib.md5(f"{i}:{d}".encode()).digest()[0] - 128) / 64.0
+             for d in range(8)]
+        rows.append((i, v))
+    rows.append((100, None))            # NULL vector
+    rows.append((101, [1.0, 2.0]))      # length mismatch (short)
+    rows.append((102, [0.5] * 12))      # length mismatch (long)
+    rows.append((103, [0.0] * 8))       # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for scheme in ("md5_uniform", "rademacher_md5"):
+        planes = [[_hyperplane(7, t, b, 8, scheme) for b in range(6)]
+                  for t in range(3)]
+        ref = _broadcast_nested(
+            df.select("vec_id", F.col("embedding").alias("__v")),
+            "__planes", planes, depth=3,
+        ).select("vec_id",
+                 _sketch_buckets("__v", "__planes").alias("buckets"))
+        got = df.select("vec_id",
+                        _np_sketch_udf(planes)(F.col("embedding"))
+                        .alias("buckets"))
+        ref_rows = {r["vec_id"]: r["buckets"] for r in ref.collect()}
+        got_rows = {r["vec_id"]: r["buckets"] for r in got.collect()}
+        assert got_rows == ref_rows, scheme
+
+    # cosine over every ordered pair of the fixture (incl. edge rows)
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b)
+    ref = pairs.select(
+        "ia", "ib",
+        F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("c"))
+    got = pairs.select(
+        "ia", "ib",
+        F.round(_np_cosine_udf()(F.col("va"), F.col("vb")), 6).alias("c"))
+    ref_m = {(r["ia"], r["ib"]): r["c"] for r in ref.collect()}
+    got_m = {(r["ia"], r["ib"]): r["c"] for r in got.collect()}
+    assert got_m == ref_m
+
+    # float32 inputs: widened to double before the product, like the
+    # fold's element-wise cast
+    f32 = df.where(F.col("vec_id") < 40).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    ref = f32.select("vec_id", F.round(
+        cosine_similarity(F.col("embedding"), F.col("embedding")), 6)
+        .alias("c"))
+    got = f32.select("vec_id", F.round(
+        _np_cosine_udf()(F.col("embedding"), F.col("embedding")), 6)
+        .alias("c"))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in ref.collect()}
