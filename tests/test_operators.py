@@ -833,3 +833,79 @@ def test_np_sketch_and_cosine_match_catalyst_fold(spark):
         _np_cosine_udf()(F.col("embedding"), F.col("embedding")), 6)
         .alias("c"))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in ref.collect()}
+
+
+def test_np_shingle_minhash_match_catalyst(spark):
+    """Round-7 optimization guard: the Arrow twins of word_shingles
+    (_np_shingles_udf) and the MinHash fold (_np_minhash_udf) must
+    reproduce the Catalyst expressions exactly, including edge
+    semantics: NULL text -> '' -> [''] single shingle; fewer than k
+    words -> whole-doc shingle; leading/trailing non-space whitespace
+    survives Spark's space-only trim and produces the same empty
+    tokens under Java split semantics; dedup preserves first
+    occurrence; empty shingle array -> all-PRIME signature; NULL
+    array -> NULL signature."""
+    from pyspark.sql import functions as F
+
+    from chronominer_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _np_minhash_udf,
+        _np_shingles_udf,
+        word_shingles,
+    )
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, None),
+        (2, ""),
+        (3, "one two"),
+        (4, "  padded   with  spaces   "),
+        (5, "tab\tand\nnewline\tseparated words here"),
+        (6, "\ntrailing newline keeps empty token\n"),
+        (7, "repeat repeat repeat repeat repeat"),
+        (8, "MiXeD CaSe TeXt MiXeD CaSe TeXt"),
+        (9, "x " * 2000),            # long doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for k in (2, 3):
+        ref = {r["doc_id"]: r["s"] for r in df.select(
+            "doc_id", word_shingles("text", k).alias("s")).collect()}
+        got = {r["doc_id"]: r["s"] for r in df.select(
+            "doc_id", _np_shingles_udf(k)(F.col("text")).alias("s")).collect()}
+        assert got == ref, f"k={k}"
+
+    # minhash twin over the Catalyst-shingled arrays + edge arrays
+    sh = df.select("doc_id", word_shingles("text", 3).alias("sh"))
+    edge = spark.createDataFrame(
+        [(100, []), (101, None), (102, ["a b c"])],
+        "doc_id long, sh array<string>")
+    sh = sh.unionByName(edge)
+
+    def catalyst_sig(col, num_hashes):
+        d = F.md5(col)
+        h1 = F.pmod(F.conv(F.substring(d, 1, 15), 16, 10).cast("long"),
+                    F.lit(MINHASH_PRIME))
+        h2 = F.pmod(F.conv(F.substring(d, 17, 15), 16, 10).cast("long"),
+                    F.lit(MINHASH_PRIME))
+        return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+    for num_hashes in (4, 16):
+        hashed = sh.select(
+            "doc_id",
+            F.transform("sh", lambda s: catalyst_sig(s, num_hashes))
+            .alias("hh"))
+        init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * num_hashes)
+        fold = F.aggregate(
+            "hh", init,
+            lambda acc, p: F.zip_with(
+                acc, F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda a, i: F.least(
+                    a, F.pmod(p["h1"] + i * p["h2"],
+                              F.lit(MINHASH_PRIME)))))
+        ref = {r["doc_id"]: r["sig"] for r in hashed.select(
+            "doc_id", fold.alias("sig")).collect()}
+        got = {r["doc_id"]: r["sig"] for r in sh.select(
+            "doc_id", _np_minhash_udf(num_hashes)(F.col("sh")).alias("sig"))
+            .collect()}
+        assert got == ref, f"num_hashes={num_hashes}"
