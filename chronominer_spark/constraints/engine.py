@@ -42,7 +42,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from chronominer_spark.constraints.spec import Constraint, ConstraintSuite
-from chronominer_spark.functions.text import normalize_text
+from chronominer_spark.functions.text import norm_hash64_arrow
 
 logger = logging.getLogger(__name__)
 
@@ -696,14 +696,14 @@ class SuiteEvaluator:
         sel: list[F.Column] = [F.col(c) for c in names]
         for i, c in eq_list:
             col = c.params["col"]
-            norm = normalize_text(F.col(col), **self._norm_opts(c))
             sel += [
                 F.coalesce(F.col("ts").cast("timestamp").cast("long"),
                            F.lit(0)).alias(f"__eq{i}_ts"),
                 F.xxhash64(F.col(col)).bitwiseXOR(F.lit(-1))
                 .alias(f"__eq{i}_h"),
-                F.when(norm.isNull(), F.lit(None).cast("long"))
-                .otherwise(F.xxhash64(norm)).alias(f"__eq{i}_norm"),
+                # fused Arrow normalize+hash (guide §4.2), one UDF call
+                norm_hash64_arrow(F.col(col), **self._norm_opts(c))
+                .alias(f"__eq{i}_norm"),
             ]
         for g, (expr_s, bins, lo, hi) in enumerate(drift_groups):
             sel.append(
@@ -1267,9 +1267,9 @@ class SuiteEvaluator:
         # norm stays null (xxhash64 would map it to the seed). False
         # match probability is 2^-64 per compared pair — the standard
         # content-equality tradeoff at 10^12-row scale.
-        norm = normalize_text(F.col(col), **norm_opts)
-        norm_h = F.when(norm.isNull(), F.lit(None).cast("long")) \
-            .otherwise(F.xxhash64(norm))
+        # fused Arrow normalize+hash (guide §4.2): 8 bytes/row return to
+        # the JVM, NULL norm stays NULL (see norm_hash64_arrow)
+        norm_h = norm_hash64_arrow(F.col(col), **norm_opts)
         # ONE struct: order key first, payload after — the winner is
         # max(struct(...)), a native declarative aggregate that stays
         # inside whole-stage codegen. (max_by is an ObjectHashAggregate
@@ -1549,10 +1549,13 @@ class SuiteEvaluator:
                              .withColumn("_is_cur", F.lit(False)))
             )
             # same total order + payload as _stable_winner (see there
-            # for the hashing / tie-break rationale)
-            norm = normalize_text(F.col(col), **norm_opts)
-            w_norm = F.when(norm.isNull(), F.lit(None).cast("long")) \
-                .otherwise(F.xxhash64(norm))
+            # for the hashing / tie-break rationale); fused Arrow
+            # normalize+hash projected ONCE pre-exchange (guide §4.2 —
+            # both winner structs read the projected column, so the UDF
+            # runs exactly once per row)
+            tagged = tagged.withColumn(
+                "__nh_eq", norm_hash64_arrow(F.col(col), **norm_opts))
+            w_norm = F.col("__nh_eq")
             w_ts = F.coalesce(F.col("ts").cast("timestamp").cast("long"),
                               F.lit(0))
             w_h = F.xxhash64(F.col(col)).bitwiseXOR(F.lit(-1))

@@ -909,3 +909,42 @@ def test_np_shingle_minhash_match_catalyst(spark):
             "doc_id", _np_minhash_udf(num_hashes)(F.col("sh")).alias("sig"))
             .collect()}
         assert got == ref, f"num_hashes={num_hashes}"
+
+
+def test_normalize_text_arrow_matches_catalyst(spark):
+    """Round-7 optimization guard: normalize_text_arrow (pyarrow.compute
+    RE2 passes) must reproduce normalize_text (JVM regex) exactly for
+    every toggle combination, on whitespace/punct/unicode edge
+    fixtures: Java \\s == [ \\t\\n\\x0B\\f\\r], Java \\w ==
+    [0-9A-Za-z_], space-only trim, NULL propagation."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from chronominer_spark.functions.text import (
+        normalize_text,
+        normalize_text_arrow,
+    )
+
+    rows = [
+        (0, "  Hello   World  "),
+        (1, None),
+        (2, ""),
+        (3, "tab\there\nnewline\x0Bvtab\fff\rcr end"),
+        (4, "Punct, marks! (and) [brackets] {braces} #hash_underscore_ok"),
+        (5, "MiXeD CaSe"),
+        (6, "café résumé naïve"),  # diacritics
+        (7, " \t\n "),                                   # whitespace-only
+        (8, "unicode ß sharp-s İ dotted-I"),
+        (9, "a  b   c    d"),
+    ]
+    df = spark.createDataFrame(rows, "i long, s string")
+    for lc, cw, sp, sd in product([True, False], repeat=4):
+        opts = dict(lowercase=lc, collapse_ws=cw, strip_punct=sp,
+                    strip_diacritics=sd)
+        ref = {r["i"]: r["n"] for r in df.select(
+            "i", normalize_text(F.col("s"), **opts).alias("n")).collect()}
+        got = {r["i"]: r["n"] for r in df.select(
+            "i", normalize_text_arrow(F.col("s"), **opts).alias("n"))
+            .collect()}
+        assert got == ref, opts
