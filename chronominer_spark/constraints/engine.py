@@ -1860,6 +1860,36 @@ class SuiteEvaluator:
                 (p["expr"], p["bins"], p["lo"], p["hi"]), []
             ).append(c)
 
+        # Joint-histogram fuse (guide §2.3 "aggregate before you
+        # shuffle" + §1.2 "don't read twice"): several drift groups
+        # (e.g. PSI@20 bins and KS@50 bins over the same column) each
+        # scanned BOTH inputs to bin them. One aggregation over the
+        # cross-binned keys (_pid, bin_g0, bin_g1, ...) reads each side
+        # ONCE; every group's histogram is then a re-aggregation of the
+        # tiny joint frame (≤ pids × Π bins rows — capped so a
+        # pathological suite with many wide groups falls back to
+        # per-group scans rather than exploding the joint key space).
+        joint_cur = joint_ref = None
+        gkeys = list(by_group)
+        joint_cells = 1
+        for _, bins, _, _ in gkeys:
+            joint_cells *= max(1, int(bins))
+        if (cur_n is None and len(gkeys) > 1 and joint_cells <= 100_000):
+            bcols = [
+                self._bin_expr(F.expr(e), b, lo, hi).alias(f"__jb{g}")
+                for g, (e, b, lo, hi) in enumerate(gkeys)
+            ]
+            jnames = [f"__jb{g}" for g in range(len(gkeys))]
+
+            def joint(frame: DataFrame) -> DataFrame:
+                return self._share(
+                    frame.select("_pid", *bcols)
+                    .groupBy("_pid", *jnames)
+                    .agg(F.count(F.lit(1)).alias("__jn"))
+                )
+
+            joint_cur, joint_ref = joint(df), joint(ref)
+
         out: list[DataFrame] = []
         for key, cs in by_group.items():
             expr_s, bins, lo, hi = key
@@ -1867,6 +1897,17 @@ class SuiteEvaluator:
                 bcol = F.col(f"__db{groups.index(key)}")
                 h_cur = self._histogram(cur_n, bcol, "n_cur")
                 h_ref = self._histogram(ref_n, bcol, "n_ref")
+            elif joint_cur is not None:
+                g = gkeys.index(key)
+
+                def marginal(j: DataFrame, name: str) -> DataFrame:
+                    return (
+                        j.groupBy("_pid", F.col(f"__jb{g}").alias("bin"))
+                        .agg(F.sum("__jn").alias(name))
+                    )
+
+                h_cur = marginal(joint_cur, "n_cur")
+                h_ref = marginal(joint_ref, "n_ref")
             else:
                 b = self._bin_expr(F.expr(expr_s), bins, lo, hi)
                 h_cur = self._histogram(df, b, "n_cur")
