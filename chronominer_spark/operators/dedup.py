@@ -482,21 +482,27 @@ def ngram_jaccard_pairs(
                                F.col("__n").alias("nb")), "id_b")
         )
 
-    # ship 64-bit shingle hashes through the intersection join instead of
-    # the shingle strings: same distinct counts w.h.p., ~3× less shuffle
-    # bytes on a real corpus
-    exploded = sh.select(
-        "id",
-        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("shingle"),
-    )
-
-    ea = exploded.select(F.col("id").alias("id_a"), "shingle")
-    eb = exploded.select(F.col("id").alias("id_b"), "shingle")
+    # |A∩B| on 64-bit shingle hashes (same distinct counts as strings
+    # w.h.p. — the long-documented collision caveat), computed per pair
+    # with array_intersect after attaching the hash arrays to the
+    # broadcast pair set. The previous formulation exploded every
+    # participating doc's shingles and shuffled ~2 skinny rows per
+    # (doc, shingle) through a two-key join; the array form moves each
+    # doc's hash array exactly once through two pair-attach joins and
+    # never exchanges per-shingle rows (guide §2.3/§8: decide on
+    # lightweight proxies, move payloads once).
+    harr = sh.select(
+        "id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"))
     inter = (
-        F.broadcast(pairs.select("id_a", "id_b")).join(ea, on="id_a")
-        .join(eb, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        F.broadcast(pairs.select("id_a", "id_b"))
+        .join(harr.select(F.col("id").alias("id_a"),
+                          F.col("__hs").alias("__ha")), on="id_a")
+        .join(harr.select(F.col("id").alias("id_b"),
+                          F.col("__hs").alias("__hb")), on="id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("__ha", "__hb")).alias("inter"),
+        )
     )
     out = (
         sized.join(inter, on=["id_a", "id_b"], how="left")

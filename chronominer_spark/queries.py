@@ -441,17 +441,14 @@ def q14_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((F.col("value") - lo) / width)),
     ).cast("int")
-    cur = (
-        e.where(F.col("event_id") > mid)
-        .groupBy("event_type", b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n_cur"))
+    # ONE scan with conditional sums (guide §2.3 "aggregate before you
+    # shuffle"; the shape the oracle always had) — previously two
+    # filtered scans + a full-outer join. A (type, bin) group exists
+    # iff any row lands in it, exactly the join∪fillna(0) row set.
+    j = e.groupBy("event_type", b.alias("bin")).agg(
+        F.sum((F.col("event_id") > mid).cast("long")).alias("n_cur"),
+        F.sum((F.col("event_id") <= mid).cast("long")).alias("n_ref"),
     )
-    ref = (
-        e.where(F.col("event_id") <= mid)
-        .groupBy("event_type", b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n_ref"))
-    )
-    j = cur.join(ref, ["event_type", "bin"], "full_outer").fillna(0, ["n_cur", "n_ref"])
     wt = W.partitionBy("event_type")
     probs = j.withColumn("p", F.col("n_cur") / F.sum("n_cur").over(wt)) \
              .withColumn("q", F.col("n_ref") / F.sum("n_ref").over(wt))
