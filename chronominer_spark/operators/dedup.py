@@ -164,10 +164,96 @@ def shingle_docs(
 MINHASH_PRIME = 1_000_000_007
 
 
+def _np_shingle_hash_udf(k: int):
+    """ONE Arrow pass fusing shingling + per-shingle md5 (guide §4.2 /
+    §1.2: the md5 of every shingle was computed twice per pipeline —
+    once in :func:`_np_minhash_udf` for signatures and again (as JVM
+    ``xxhash64``) for the verify stage's intersection arrays). Emits,
+    per doc, three parallel long arrays over the FIRST-OCCURRENCE-
+    DEDUPED shingle set:
+
+    - ``h1``/``h2``: the two 60-bit md5 halves mod ``MINHASH_PRIME`` —
+      exactly the Kirsch–Mitzenmacher inputs of
+      :func:`_np_minhash_udf`, so signatures built from them are
+      bit-identical to the string path (pytest-asserted);
+    - ``hs``: the raw first 60-bit md5 half — a distinct-preserving
+      (w.h.p., ~s²·2⁻⁶⁰ per doc pair vs the previous xxhash64's
+      ~s²·2⁻⁶⁴; both negligible and both inside the long-documented
+      hash-collision caveat on :func:`ngram_jaccard_pairs`) stand-in
+      for the shingle string in ``array_intersect`` verification.
+
+    Shingle/tokenization semantics are byte-identical to
+    :func:`_np_shingles_udf` (same strip/lower/ASCII-``\\s`` split and
+    ``dict.fromkeys`` dedup). The persisted frame carries ~3×8 B per
+    shingle instead of the shingle string — smaller cache, and the
+    verify stage needs no further hashing at all."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    P = MINHASH_PRIME
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("h1", T.ArrayType(T.LongType())),
+        T.StructField("h2", T.ArrayType(T.LongType())),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+    ]))
+    def fused(texts: pd.Series) -> pd.DataFrame:
+        h1s: list = []
+        h2s: list = []
+        hss: list = []
+        md5 = hashlib.md5
+        for t in texts:
+            s = ("" if t is None else t).strip(" ").lower()
+            words = ws.split(s)
+            n = len(words)
+            if n >= k:
+                sh = list(dict.fromkeys(
+                    " ".join(words[i:i + k]) for i in range(n - k + 1)))
+            else:
+                sh = [" ".join(words)]
+            h1: list = []
+            h2: list = []
+            hs: list = []
+            for x in sh:
+                d = md5(x.encode("utf-8")).hexdigest()
+                a = int(d[0:15], 16)
+                h1.append(a % P)
+                h2.append(int(d[16:31], 16) % P)
+                hs.append(a)
+            h1s.append(h1)
+            h2s.append(h2)
+            hss.append(hs)
+        return pd.DataFrame({"h1": h1s, "h2": h2s, "hs": hss})
+
+    return fused
+
+
+def shingle_hash_docs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """One row per doc: (id_col, ``__h1``, ``__h2``, ``__hs``
+    array<long>) — the fused shingle+hash frame (see
+    :func:`_np_shingle_hash_udf`). Compute once, persist, and feed both
+    :func:`minhash_signatures` (via ``kh_df``) and
+    :func:`ngram_jaccard_pairs` (via ``hash_df``): the corpus is then
+    tokenized AND hashed exactly once for the whole
+    signature→band→verify pipeline."""
+    return df.select(
+        F.col(id_col), _np_shingle_hash_udf(k)(F.col(text_col)).alias("__f")
+    ).select(
+        F.col(id_col),
+        F.col("__f.h1").alias("__h1"),
+        F.col("__f.h2").alias("__h2"),
+        F.col("__f.hs").alias("__hs"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 3, num_hashes: int = 16,
     shingles_df: DataFrame | None = None,
+    kh_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature via Kirsch–Mitzenmacher double
     hashing: each shingle is md5'd ONCE, split into two 60-bit halves
@@ -187,7 +273,20 @@ def minhash_signatures(
     math, so the output is bit-identical by construction and
     pytest-asserted against the fold. Edge semantics preserved: an
     EMPTY shingle array yields the all-``MINHASH_PRIME`` init
-    signature; a NULL array yields a NULL signature."""
+    signature; a NULL array yields a NULL signature.
+
+    ``kh_df`` (from :func:`shingle_hash_docs`, ideally persisted) goes
+    one step further than ``shingles_df``: the per-shingle md5 halves
+    are already computed, so the signature is a pure numpy
+    permutation-min over the ``__h1``/``__h2`` arrays — no second
+    tokenization or hashing pass at all. Same integers in, same
+    fold → bit-identical signatures (pytest-asserted)."""
+    if kh_df is not None:
+        return kh_df.select(
+            F.col(id_col),
+            _np_minhash_from_halves_udf(num_hashes)(
+                F.col("__h1"), F.col("__h2")).alias("signature"),
+        )
     if shingles_df is not None:
         sh = shingles_df.select(F.col(id_col), F.col("shingles").alias("__sh"))
     else:
@@ -235,6 +334,45 @@ def _np_minhash_udf(num_hashes: int):
             starts = np.searchsorted(ridx, np.unique(ridx))
             mins = np.minimum.reduceat(perms, starts, axis=0)
             for j, i in enumerate(np.unique(ridx)):
+                out[i] = mins[j].tolist()
+        return pd.Series(out)
+
+    return sig
+
+
+def _np_minhash_from_halves_udf(num_hashes: int):
+    """Kirsch–Mitzenmacher permutation-min over PRE-HASHED md5 halves
+    (the ``__h1``/``__h2`` arrays of :func:`shingle_hash_docs`): one
+    flat numpy ``(h1 + i·h2) mod P`` broadcast + ``minimum.reduceat``
+    per Arrow batch and zero hashing. Identical integer math to
+    :func:`_np_minhash_udf` — bit-identical signatures, same
+    NULL-array → NULL / empty-array → all-``P`` init edge semantics."""
+    P = MINHASH_PRIME
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(h1_rows: pd.Series, h2_rows: pd.Series) -> pd.Series:
+        out: list = [None] * len(h1_rows)
+        init = [P] * num_hashes
+        idx: list = []
+        h1_parts: list = []
+        h2_parts: list = []
+        for i, (a, b) in enumerate(zip(h1_rows, h2_rows)):
+            if a is None:
+                continue
+            out[i] = init
+            if len(a):
+                idx.append(np.full(len(a), i, dtype=np.int64))
+                h1_parts.append(np.asarray(a, dtype=np.int64))
+                h2_parts.append(np.asarray(b, dtype=np.int64))
+        if h1_parts:
+            h1 = np.concatenate(h1_parts)[:, None]
+            h2 = np.concatenate(h2_parts)[:, None]
+            perms = (h1 + np.arange(num_hashes, dtype=np.int64) * h2) % P
+            ridx = np.concatenate(idx)
+            uniq = np.unique(ridx)
+            starts = np.searchsorted(ridx, uniq)
+            mins = np.minimum.reduceat(perms, starts, axis=0)
+            for j, i in enumerate(uniq):
                 out[i] = mins[j].tolist()
         return pd.Series(out)
 
@@ -376,6 +514,8 @@ def ngram_jaccard_pairs(
     pairs: DataFrame, k: int = 3,
     shingles_df: DataFrame | None = None,
     min_jaccard: float | None = None,
+    hash_df: DataFrame | None = None,
+    pairs_materialized: bool = False,
 ) -> DataFrame:
     """Jaccard similarity on word k-shingle sets for the given candidate
     (id_a, id_b) pairs — the verify step after LSH. Computed
@@ -421,8 +561,21 @@ def ngram_jaccard_pairs(
     ``surviving``) and the pair side of the intersection join carry
     the same bound and are broadcast-hinted (guide §3.1), so the
     shingle cache is filtered in place and the exploded shingle table
-    is never shuffled for the semi-restrictions."""
-    pairs = pairs.localCheckpoint(eager=True)
+    is never shuffled for the semi-restrictions.
+
+    ``hash_df`` (from :func:`shingle_hash_docs`, ideally persisted)
+    supplies the per-shingle 60-bit md5-half arrays directly: the
+    verify stage then does NO tokenization or hashing at all — sizes
+    come from ``size(__hs)`` (the fused pass dedups shingles before
+    hashing, so sizes match the string path) and the intersection runs
+    on ``__hs`` verbatim (same w.h.p.-exact contract as hashed
+    strings; see the collision caveat above).
+    ``pairs_materialized=True`` skips the defensive eager checkpoint
+    when the caller's pair frame is already materialized (e.g. the
+    checkpointed output of :func:`lsh_candidate_pairs`) — one fewer
+    job per pipeline."""
+    if not pairs_materialized:
+        pairs = pairs.localCheckpoint(eager=True)
 
     # restrict to docs that participate in a candidate pair — after
     # LSH the candidate set is typically a small fraction of the corpus
@@ -431,7 +584,14 @@ def ngram_jaccard_pairs(
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    if shingles_df is not None:
+    prehashed = hash_df is not None
+    if prehashed:
+        sh = (
+            hash_df.select(F.col(id_col).alias("id"), "__hs")
+            .join(participating, on="id", how="left_semi")
+            .withColumn("__n", F.size("__hs"))
+        )
+    elif shingles_df is not None:
         sh = (
             shingles_df.select(F.col(id_col).alias("id"),
                                F.col("shingles").alias("__sh"))
@@ -491,8 +651,11 @@ def ngram_jaccard_pairs(
     # doc's hash array exactly once through two pair-attach joins and
     # never exchanges per-shingle rows (guide §2.3/§8: decide on
     # lightweight proxies, move payloads once).
-    harr = sh.select(
-        "id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"))
+    if prehashed:
+        harr = sh.select("id", "__hs")
+    else:
+        harr = sh.select(
+            "id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"))
     inter = (
         F.broadcast(pairs.select("id_a", "id_b"))
         .join(harr.select(F.col("id").alias("id_a"),

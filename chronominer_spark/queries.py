@@ -593,7 +593,7 @@ def q19_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-hashing makes the signatures engine-independent)."""
     from pyspark import StorageLevel
 
-    from chronominer_spark.operators.dedup import shingle_docs
+    from chronominer_spark.operators.dedup import shingle_hash_docs
 
     # the sandbox documents file is a single parquet split; spread the
     # shingling (the pipeline's CPU hot path) across all cores. On a
@@ -601,17 +601,24 @@ def q19_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into a no-op-sized shuffle of doc ids+text.
     d = t(spark, sf_dir, "documents") \
         .repartition(spark.sparkContext.defaultParallelism)
-    sh = shingle_docs(d, "doc_id", "text", k=3) \
+    # ONE fused Arrow pass tokenizes AND md5s the corpus; the persisted
+    # (id, h1, h2, hs) frame feeds the signature stage (pure numpy
+    # permutation-min, bit-identical signatures) and the verify stage
+    # (intersection directly on the 60-bit md5 halves) — the previous
+    # plan tokenized once but hashed every shingle twice (Python md5 +
+    # JVM xxhash64) and cached the strings themselves
+    fh = shingle_hash_docs(d, "doc_id", "text", k=3) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(d, "doc_id", "text", k=3, num_hashes=16,
-                              shingles_df=sh)
+                              kh_df=fh)
     pairs = lsh_candidate_pairs(sigs, "doc_id", bands=8, num_hashes=16)
     # min_jaccard arms the exact size-bound prefilter: candidates whose
     # shingle-count ratio already proves jaccard < 0.2 never reach the
-    # exploded-shingle intersection join (identical output, A/B'd in
+    # intersection join (identical output, A/B'd in
     # tools/ab_jaccard_sizefilter.py)
     verified = ngram_jaccard_pairs(d, "doc_id", "text", pairs, k=3,
-                                   shingles_df=sh, min_jaccard=0.2)
+                                   hash_df=fh, min_jaccard=0.2,
+                                   pairs_materialized=True)
     return verified.where(F.col("jaccard") >= 0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

@@ -911,6 +911,71 @@ def test_np_shingle_minhash_match_catalyst(spark):
         assert got == ref, f"num_hashes={num_hashes}"
 
 
+def test_fused_shingle_hash_matches_string_path(spark):
+    """Round-7 optimization guard for the fused shingle+hash pass
+    (shingle_hash_docs): signatures built from its h1/h2 arrays must be
+    bit-identical to the string-path signatures, its hs arrays must be
+    the md5-half images of the string-path shingles (order and dedup
+    preserved), and ngram_jaccard_pairs(hash_df=...) must return the
+    exact rows of the shingles_df path on a fixture with known
+    near-dups (same sizes, intersections and jaccard values)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from chronominer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingle_docs,
+        shingle_hash_docs,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text with other words entirely here"),
+        (3, None),
+        (4, ""),
+        (5, "one two"),
+        (6, "repeat repeat repeat repeat repeat"),
+        (7, "the quick brown fox jumps over the lazy dog"),  # exact dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingle_docs(df, "doc_id", "text", k=3)
+    fh = shingle_hash_docs(df, "doc_id", "text", k=3)
+
+    # hs arrays = first-60-bit md5 halves of the string shingles, in order
+    exp_hs = {
+        r["doc_id"]: [int(hashlib.md5(s.encode()).hexdigest()[0:15], 16)
+                      for s in r["shingles"]]
+        for r in sh.collect()
+    }
+    got_hs = {r["doc_id"]: list(r["__hs"]) for r in fh.collect()}
+    assert got_hs == exp_hs
+
+    # signatures: kh_df path bit-identical to shingles_df path
+    ref_sig = {r["doc_id"]: r["signature"] for r in minhash_signatures(
+        df, "doc_id", "text", k=3, num_hashes=16, shingles_df=sh).collect()}
+    got_sig = {r["doc_id"]: r["signature"] for r in minhash_signatures(
+        df, "doc_id", "text", k=3, num_hashes=16, kh_df=fh).collect()}
+    assert got_sig == ref_sig
+
+    # verify stage: identical rows through either frame
+    sigs = minhash_signatures(df, "doc_id", "text", k=3, num_hashes=16,
+                              kh_df=fh)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=8, num_hashes=16)
+    cols = ["id_a", "id_b", "inter", "na", "nb", "jaccard"]
+    ref_v = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "doc_id", "text", pairs, k=3, shingles_df=sh,
+        min_jaccard=0.2).select(cols).collect()))
+    got_v = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "doc_id", "text", pairs, k=3, hash_df=fh,
+        min_jaccard=0.2, pairs_materialized=True).select(cols).collect()))
+    assert got_v == ref_v and len(got_v) > 0
+
+
 def test_normalize_text_arrow_matches_catalyst(spark):
     """Round-7 optimization guard: normalize_text_arrow (pyarrow.compute
     RE2 passes) must reproduce normalize_text (JVM regex) exactly for

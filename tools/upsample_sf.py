@@ -71,8 +71,18 @@ def main() -> None:
                 d[k] = d[k] + r * spans[k]
             for tc in TEXT_COLS.get(tbl, []):
                 if r > 0:
-                    d[tc] = d[tc].astype("string").fillna("") + f" r{r}"
-                    d[tc] = d[tc].astype(df[tc].dtype)
+                    # suffix EVERY WORD per replica: a bijection on the
+                    # token vocabulary, so within-replica shingle/dup
+                    # structure is preserved exactly while cross-replica
+                    # similarity drops to zero (a trailing doc-level
+                    # token would make every doc a ~0.95-Jaccard
+                    # near-dup of its 9 replicas — degenerate for the
+                    # LSH/dedup families)
+                    sfx = f"r{r}"
+                    d[tc] = d[tc].map(
+                        lambda s: None if s is None else " ".join(
+                            w + sfx for w in str(s).split())
+                    ).astype(df[tc].dtype)
             if tbl == "embeddings" and r > 0:
                 # replicas get INDEPENDENT unit vectors (same dim/norm
                 # as the originals): tiny per-replica noise would make
