@@ -281,6 +281,96 @@ def _np_cosine_udf():
     return cos
 
 
+def _np_cosine_lookup_udf(spark, side_frames):
+    """Cosine over BROADCAST id→vector matrices: the UDF receives only
+    the (query_id, neighbor_id) longs; vectors are resolved inside the
+    Python worker from matrices broadcast ONCE per executor (guide §4.5
+    heavyweight state per task, §8 "move heavy bytes once"). Versus the
+    per-pair re-attach joins this removes the 2×dim doubles that every
+    candidate pair previously carried through two joins and the Arrow
+    boundary (~1 KB/pair at dim=64 — the dominant verify-stage bytes).
+
+    Only used under ``broadcast_vectors=True``, i.e. when the caller
+    has already declared the id→vector side bounded (dimension-table-
+    sized): materializing it on the driver is the same collect a
+    ``BroadcastExchange`` of the re-attach join performed internally,
+    minus shipping it per pair afterwards.
+
+    Semantics are exactly :func:`_np_cosine_udf` on the same float64
+    values (Arrow driver collection is bit-lossless): NULL vector →
+    NULL cosine, zero norm → 0.0, ragged lengths fall back to the
+    per-pair scalar path. ``side_frames`` is (query_df, neighbor_df)
+    of (id, vec) columns; pass the same object twice for a self-join
+    (one collection, one broadcast)."""
+    import pandas as pd
+
+    def _collect(df):
+        pdf = df.toPandas()
+        idc, vc = pdf.columns[:2]
+        ids: list = []
+        rows: list = []
+        odd: dict = {}          # NULL / ragged vectors: exact scalar path
+        dim = None
+        for i, v in zip(pdf[idc], pdf[vc]):
+            if v is None:
+                odd[int(i)] = None
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if dim is None:
+                dim = a.shape[0]
+            if a.shape[0] != dim:
+                odd[int(i)] = a
+                continue
+            ids.append(int(i))
+            rows.append(a)
+        mat = (np.vstack(rows) if rows
+               else np.zeros((0, dim or 0), dtype=np.float64))
+        index = {i: j for j, i in enumerate(ids)}
+        return index, mat, odd
+
+    qf, nf = side_frames
+    q_side = _collect(qf)
+    n_side = q_side if nf is qf else _collect(nf)
+    bc = spark.sparkContext.broadcast((q_side, n_side))
+
+    def _one(a, b):
+        if a is None or b is None:
+            return None
+        d = float(np.sqrt((a * a).sum()) * np.sqrt((b * b).sum()))
+        if d == 0.0:
+            return 0.0
+        if a.shape[0] != b.shape[0]:
+            return None
+        return float(a @ b) / d
+
+    @F.pandas_udf("double")
+    def cos(qs: pd.Series, ns: pd.Series) -> pd.Series:
+        (qidx, qmat, qodd), (nidx, nmat, nodd) = bc.value
+        qi = qs.map(qidx).to_numpy(dtype=np.float64, na_value=np.nan)
+        ni = ns.map(nidx).to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = ~(np.isnan(qi) | np.isnan(ni))
+        out = np.empty(len(qs), dtype=object)
+        if ok.any():
+            x = qmat[qi[ok].astype(np.int64)]
+            y = nmat[ni[ok].astype(np.int64)]
+            dots = np.einsum("ij,ij->i", x, y)
+            d = np.sqrt(np.einsum("ij,ij->i", x, x)) \
+                * np.sqrt(np.einsum("ij,ij->i", y, y))
+            nz = d != 0
+            c = np.zeros(ok.sum(), dtype=np.float64)
+            np.divide(dots, d, out=c, where=nz)
+            out[np.flatnonzero(ok)] = c
+        for j in np.flatnonzero(~ok):
+            a = qodd.get(int(qs.iloc[j])) if np.isnan(qi[j]) \
+                else qmat[int(qi[j])]
+            b = nodd.get(int(ns.iloc[j])) if np.isnan(ni[j]) \
+                else nmat[int(ni[j])]
+            out[j] = _one(a, b)
+        return pd.Series(out, dtype="float64")
+
+    return cos
+
+
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -388,22 +478,35 @@ def lsh_topk(
     # bounded) so the pair set crosses no exchange here; otherwise both
     # sides shuffle by key — still linear in candidates, never in the
     # corpus cross product
-    qv = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("__query_id_v"))
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("__neighbor_id_v"))
-    if broadcast_vectors:
-        qv, nv = F.broadcast(qv), F.broadcast(nv)
-    cand = cand.join(qv, on="query_id").join(nv, on="neighbor_id")
     # rank on ROUNDED cosine (ties broken by neighbor_id) so float noise
     # below the 6th decimal can never flip an ordering across engines or
     # parallelism levels
-    cos = _np_cosine_udf()
-    scored = cand.withColumn(
-        "cosine",
-        F.round(cos(F.col("__query_id_v"),
-                    F.col("__neighbor_id_v")), 6),
-    )
+    if broadcast_vectors:
+        # caller-declared bounded id→vector side: resolve vectors from
+        # broadcast matrices INSIDE the cosine UDF — only the id pair
+        # crosses the joins/exchange/Arrow boundary (guide §8; see
+        # _np_cosine_lookup_udf). Identical float64 math and edge
+        # semantics as the re-attach path (pytest-asserted).
+        qvec = queries.select(F.col(id_col), F.col(vec_col))
+        nvec = qvec if self_join else corpus.select(F.col(id_col),
+                                                    F.col(vec_col))
+        cos = _np_cosine_lookup_udf(queries.sparkSession, (qvec, nvec))
+        scored = cand.withColumn(
+            "cosine",
+            F.round(cos(F.col("query_id"), F.col("neighbor_id")), 6),
+        )
+    else:
+        qv = queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("__query_id_v"))
+        nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("__neighbor_id_v"))
+        cand = cand.join(qv, on="query_id").join(nv, on="neighbor_id")
+        cos = _np_cosine_udf()
+        scored = cand.withColumn(
+            "cosine",
+            F.round(cos(F.col("__query_id_v"),
+                        F.col("__neighbor_id_v")), 6),
+        )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -167,6 +167,49 @@ def test_lsh_topk_recall_on_clustered_vectors(vectors):
     assert recall >= 0.9  # clustered data: hyperplane LSH must find the cluster
 
 
+def test_lsh_topk_broadcast_vectors_identical(vectors, spark):
+    """Round-7 optimization guard: broadcast_vectors=True resolves
+    vectors from broadcast matrices inside the cosine UDF instead of
+    per-pair re-attach joins — outputs must be row-identical, including
+    NULL-vector (NULL cosine), zero-norm (0.0) and ragged-length edge
+    rows routed through the scalar fallback."""
+    from pyspark.sql import functions as F
+
+    from chronominer_spark.operators.similarity import (
+        _np_cosine_lookup_udf,
+        _np_cosine_udf,
+    )
+
+    base = lsh_topk(vectors, vectors, k=3, dim=8, n_bits=4, n_tables=8)
+    bcast = lsh_topk(vectors, vectors, k=3, dim=8, n_bits=4, n_tables=8,
+                     broadcast_vectors=True)
+    assert sorted(map(tuple, base.collect())) \
+        == sorted(map(tuple, bcast.collect()))
+
+    # edge rows: NULL vector, zero vector, ragged length
+    edge = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [0.0, 0.0]), (4, [1.0, 2.0, 3.0]),
+         (5, [2.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (4, 4)],
+        "query_id long, neighbor_id long")
+    ev = edge.select("vec_id", "embedding")
+    ref_cos = _np_cosine_udf()
+    ref = pairs.join(ev.select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("qa")), "query_id") \
+        .join(ev.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("nb")), "neighbor_id") \
+        .select("query_id", "neighbor_id",
+                F.round(ref_cos("qa", "nb"), 6).alias("cosine"))
+    got_cos = _np_cosine_lookup_udf(spark, (ev, ev))
+    got = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(got_cos("query_id", "neighbor_id"), 6).alias("cosine"))
+    assert sorted(map(tuple, ref.collect())) \
+        == sorted(map(tuple, got.collect()))
+
+
 def test_field_metrics_hand_example(spark):
     hyp = spark.createDataFrame(
         [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)],
