@@ -379,18 +379,33 @@ def _np_minhash_from_halves_udf(num_hashes: int):
     return sig
 
 
+BUCKET_SCHEME = "xxhash64-v1"
+
+
 def band_buckets(
     signatures: DataFrame, id_col: str, bands: int = 4,
     num_hashes: int | None = None,
 ) -> DataFrame:
     """Banded-LSH bucket rows: (id, band, bucket) — ``bands`` rows per
-    doc, bucket = md5 of the band's signature slice. The shared banding
-    of :func:`lsh_candidate_pairs` (batch self-join) and
-    ``IncrementalNearDup`` (streaming new-vs-state join); both sides of
-    any join MUST use identical (bands, num_hashes) or buckets never
-    collide. ``num_hashes`` (when known) is validated divisible by
-    ``bands``; the same check also runs row-level in the plan so a
-    mismatched signature fails loudly instead of losing recall."""
+    doc, bucket = ``xxhash64`` of the band's signature slice (a LONG).
+    The shared banding of :func:`lsh_candidate_pairs` (batch self-join)
+    and ``IncrementalNearDup`` (streaming new-vs-state join); both
+    sides of any join MUST use identical (bands, num_hashes) AND the
+    same bucket scheme (:data:`BUCKET_SCHEME` — the streaming twin
+    stamps it into its state root and refuses to resume foreign state)
+    or buckets never collide. ``num_hashes`` (when known) is validated
+    divisible by ``bands``; the same check also runs row-level in the
+    plan so a mismatched signature fails loudly instead of losing
+    recall.
+
+    The bucket value only ever groups EQUAL signature slices, so any
+    injective-w.h.p. hash yields the identical candidate-pair set; a
+    cross-slice collision can only ADD a candidate that downstream
+    exact verification rejects. Round 7 swapped the md5 hex string
+    (32 chars, one JVM md5 per doc-band) for ``xxhash64`` (8-byte
+    long): the banding exchange/persist carries ~4× fewer key bytes
+    and no md5 compute — measured q19 pair stage −1.7 s at the 500k-doc
+    upsample with byte-identical verified output."""
     if num_hashes is not None and num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands}: "
@@ -415,14 +430,14 @@ def band_buckets(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.concat(
-                        F.md5(F.array_join(
+                    F.xxhash64(F.concat(
+                        F.array_join(
                             F.transform(F.slice("signature", b * r + 1, r),
                                         lambda x: x.cast("string")),
                             ",",
-                        )),
+                        ),
                         guard,
-                    ).alias("bucket"),
+                    )).alias("bucket"),
                 ),
             )
         ).alias("bb"),

@@ -260,6 +260,26 @@ class IncrementalNearDup(StreamFoldBase):
         if num_hashes % bands != 0:
             raise ValueError(
                 f"num_hashes={num_hashes} must be divisible by bands={bands}")
+        # the band-bucket state joins against buckets computed by FUTURE
+        # runs: a binary that changed the bucket scheme would silently
+        # never collide with persisted state (lost recall). Stamp the
+        # scheme at state creation and refuse foreign state loudly.
+        from chronominer_spark.operators.dedup import BUCKET_SCHEME
+        import os
+        os.makedirs(state_root, exist_ok=True)
+        marker = os.path.join(state_root, "bucket_scheme")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                found = fh.read().strip()
+            if found != BUCKET_SCHEME:
+                raise ValueError(
+                    f"near-dup state at {state_root} was written under "
+                    f"bucket scheme {found!r}; this engine uses "
+                    f"{BUCKET_SCHEME!r} — rebuild the state or pin the "
+                    "matching engine version")
+        else:
+            with open(marker, "w") as fh:
+                fh.write(BUCKET_SCHEME)
         self.spark = spark
         self.buckets = AppendLog(spark, f"{state_root}/buckets")
         self.pairs = AppendLog(spark, f"{state_root}/pairs")
