@@ -138,3 +138,64 @@ class CheckpointManifest:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(all_rows, f)
         os.replace(tmp, self._decisions_path)
+
+
+class RefAggCache:
+    """Persisted reference-side aggregates (round-6 verdict item 1).
+
+    The cross-snapshot families (row-count / quantile / categorical /
+    histogram drift) re-scan and re-aggregate the REFERENCE snapshot on
+    every run even though it is immutable between snapshot advances.
+    This cache extends the ``strategy_decisions`` sidecar pattern to
+    DataFrames: the per-partition ref aggregates (a few rows per
+    partition — counts, sketch quantiles, category counts, bin
+    histograms, never raw data) are landed as parquet under the
+    runner's own state root, keyed by (snapshot_id, suite_hash,
+    wave-partition-set, aggregate key). A rerun of the same snapshot
+    reads them back instead of re-scanning the reference; a snapshot
+    advance or suite change keys to a different directory, and the
+    runner prunes directories of other snapshots at run start (the
+    invalidate-on-advance contract). Writes are atomic (tmp dir +
+    rename), so a crashed first run can never leave a half-written
+    aggregate readable.
+
+    This is resume/rerun state in the deployment's own output root —
+    the same class of artifact as the checkpoint manifest. One-shot
+    evaluations (no runner) never see it."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+
+    @staticmethod
+    def _slug(key: str) -> str:
+        import hashlib
+        return hashlib.sha1(key.encode("utf-8")).hexdigest()[:16]
+
+    def _dir(self, key: str) -> str:
+        return os.path.join(self.root, self._slug(key))
+
+    def load(self, key: str):
+        d = self._dir(key)
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            return self.spark.read.parquet(d)
+        return None
+
+    def save(self, key: str, df):
+        """Materialize ``df`` under ``key`` and return the read-back
+        frame (also serving as the materialized copy for any further
+        consumer in the same plan)."""
+        d = self._dir(key)
+        tmp = d + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(d):
+            import shutil
+            shutil.rmtree(d)
+        os.replace(tmp, d)
+        return self.spark.read.parquet(d)
+
+    def get_or_build(self, key: str, build):
+        cached = self.load(key)
+        if cached is not None:
+            return cached
+        return self.save(key, build())

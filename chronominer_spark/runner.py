@@ -22,8 +22,10 @@ from the manifest (tested in tests/test_checkpoint.py).
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -140,6 +142,22 @@ class SuiteRunner:
         self.evaluator.strategy_cache = self.manifest.strategy_decisions(
             snapshot_id, suite_hash)
 
+        # reference-side aggregates (round-6 verdict item 1): the ref
+        # snapshot is immutable between advances, so its per-partition
+        # drift aggregates are landed under the output root on first
+        # run and read back on rerun (zero ref-side scan jobs). Scoped
+        # like everything else by (snapshot, suite_hash) — plus the
+        # wave's partition set, baked in below — and directories of
+        # OTHER (snapshot, suite) scopes are pruned here: a snapshot
+        # advance physically invalidates the previous cache.
+        ref_aggs_root = os.path.join(self.output_root, "ref_aggs")
+        scope = f"snap={snapshot_id}_{suite_hash[:12]}"
+        if os.path.isdir(ref_aggs_root):
+            for d in os.listdir(ref_aggs_root):
+                if d != scope:
+                    shutil.rmtree(os.path.join(ref_aggs_root, d),
+                                  ignore_errors=True)
+
         all_parts = self._partition_values(df)
         done = self.manifest.completed_partitions(snapshot_id, suite_hash)
         pending = [p for p in all_parts if self._partition_id(p) not in done]
@@ -162,6 +180,13 @@ class SuiteRunner:
             sub = df.where(F.col(pcol).isin(wave))
             sub_ref = ref_df.where(F.col(pcol).isin(wave)) if ref_df is not None else None
             pids = [self._partition_id(p) for p in wave]
+            if ref_df is not None:
+                from chronominer_spark.checkpoint import RefAggCache
+                wave_key = hashlib.sha1(
+                    repr(sorted(pids)).encode()).hexdigest()[:12]
+                self.evaluator.ref_agg_cache = RefAggCache(
+                    self.spark,
+                    os.path.join(ref_aggs_root, scope, f"wave={wave_key}"))
             res, vio = self.evaluator.evaluate(
                 sub, sub_ref, snapshot_id=snapshot_id,
                 with_violations=with_violations,
