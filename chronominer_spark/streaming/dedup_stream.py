@@ -40,6 +40,8 @@ snapshots stay readable.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -52,6 +54,8 @@ from chronominer_spark.operators.dedup import (
     minhash_signatures,
 )
 from chronominer_spark.tables import AppendLog, SnapshotTable
+
+logger = logging.getLogger(__name__)
 
 
 class StreamFoldBase:
@@ -247,10 +251,14 @@ class IncrementalNearDup(StreamFoldBase):
     verification (``ngram_jaccard_pairs``) applies unchanged to the
     emitted pairs.
 
-    Note the hot-bucket guard is per-batch new-vs-state here; a bucket
-    growing hot ACROSS batches grows candidate emission linearly per
-    batch — cap it by compacting the state log against a bucket-size
-    blocklist during maintenance, as a real table format would."""
+    A bucket growing hot ACROSS batches grows candidate emission
+    linearly per batch and the log itself is append-only —
+    :meth:`compact` is the maintenance pass (round-6 verdict item 3):
+    it rewrites the state as one segment with over-cap buckets
+    excluded loudly (atomic pointer flip; replay guards survive via
+    absorbed-segment labels), bounding both state segment count and
+    per-batch emission, as a real table format's rewrite_data_files
+    would."""
 
     def __init__(
         self, spark: SparkSession, state_root: str,
@@ -290,7 +298,10 @@ class IncrementalNearDup(StreamFoldBase):
         self.bands = bands
 
     def _has_label(self, log: AppendLog, label: str) -> bool:
-        return any(s.startswith(f"{label}-") for s in log._segments())
+        # AppendLog.has_label also answers for segments absorbed by a
+        # compaction rewrite — a replayed batch after maintenance must
+        # still be recognized as ingested
+        return log.has_label(label)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         pairs_label = f"neardup_pairs_batch={batch_id}"
@@ -335,6 +346,60 @@ class IncrementalNearDup(StreamFoldBase):
         if p is None:
             return self.spark.createDataFrame([], "id_a long, id_b long")
         return p.distinct()
+
+    def compact(self, max_bucket_size: int = 1000) -> dict:
+        """Maintenance compaction of the band-bucket state log (round-6
+        verdict item 3: the log was append-only — O(corpus bands)
+        segments forever, and a bucket growing hot ACROSS batches grew
+        per-batch candidate emission without bound, invisible to the
+        per-batch guard).
+
+        Rewrites the state as ONE segment (atomic pointer flip,
+        :meth:`~chronominer_spark.tables.AppendLog.rewrite`; replay
+        guards survive via absorbed-segment labels) with every
+        (band, bucket) group whose TOTAL row count exceeds
+        ``max_bucket_size`` EXCLUDED — loudly, with bucket and row
+        counts logged, exactly like the batch path's hot-bucket guard.
+        Docs in a dropped bucket can still pair through their other
+        bands; pairs already emitted are never retracted. After
+        compaction, per-batch new×state emission through any surviving
+        bucket is bounded by ``max_bucket_size × bands`` rows per new
+        doc, and the log is a single segment regardless of how many
+        batches were ingested.
+
+        Returns ``{"n_buckets": dropped buckets, "n_rows": dropped
+        rows, "kept_rows": remaining state rows}``."""
+        state = self.buckets.read()
+        if state is None:
+            return {"n_buckets": 0, "n_rows": 0, "kept_rows": 0}
+        sizes = (
+            state.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+        )
+        hot = (
+            sizes.where(F.col("__bsz") > max_bucket_size)
+            .localCheckpoint(eager=True)
+        )
+        dropped = hot.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(F.sum("__bsz"), F.lit(0)).alias("n_rows"),
+        ).collect()[0]
+        if dropped["n_buckets"]:
+            logger.warning(
+                "IncrementalNearDup.compact: dropping %d hot bucket(s) "
+                "covering %d state rows (> max_bucket_size=%d); docs may "
+                "still pair via other bands",
+                dropped["n_buckets"], dropped["n_rows"], max_bucket_size,
+            )
+        kept = state.join(
+            F.broadcast(hot.select("band", "bucket")),
+            on=["band", "bucket"], how="left_anti",
+        )
+        self.buckets.rewrite(kept, label="compact")
+        kept_rows = self.buckets.read().count()
+        return {"n_buckets": int(dropped["n_buckets"]),
+                "n_rows": int(dropped["n_rows"]),
+                "kept_rows": int(kept_rows)}
 
 
 class IncrementalHeavyHitters(StreamFoldBase):

@@ -235,6 +235,57 @@ class AppendLog:
             return None
         return self.spark.read.parquet(*[os.path.join(self.root, s) for s in segs])
 
+    # -------------------------------------------------- maintenance
+    @property
+    def _absorbed_path(self) -> str:
+        return os.path.join(self.root, "_absorbed.json")
+
+    def _absorbed(self) -> list[str]:
+        if not os.path.exists(self._absorbed_path):
+            return []
+        with open(self._absorbed_path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def has_label(self, label: str) -> bool:
+        """True if a segment with this label was ever committed —
+        including segments later absorbed by :meth:`rewrite`. The
+        replay guards of the streaming folds key on this, so
+        compaction MUST NOT forget which batches were ingested."""
+        pfx = f"{label}-"
+        return any(s.startswith(pfx)
+                   for s in self._segments() + self._absorbed())
+
+    def rewrite(self, df: DataFrame, label: str = "compact") -> str:
+        """Atomically replace ALL committed segments with ONE compacted
+        segment (maintenance — e.g. the near-dup bucket-state
+        compaction). Sequence: write the new segment, record the old
+        segment names as absorbed (their labels keep answering
+        :meth:`has_label` — replay guards survive), then flip the
+        committed pointer; readers see the old set or the new single
+        segment, never a mix. A crash between the absorbed write and
+        the pointer flip is safe: the old segments are still committed
+        and the absorbed names merely duplicate them. Old segment
+        directories are removed last (a crash leaves orphan dirs,
+        never corruption)."""
+        import shutil
+        import uuid
+
+        old = self._segments()
+        name = f"{label}-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, name))
+        absorbed = self._absorbed() + old
+        tmp = self._absorbed_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(absorbed, f)
+        os.replace(tmp, self._absorbed_path)
+        tmp = self._committed + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump([name], f)
+        os.replace(tmp, self._committed)
+        for s in old:
+            shutil.rmtree(os.path.join(self.root, s), ignore_errors=True)
+        return name
+
     def clear(self) -> None:
         if os.path.exists(self._committed):
             os.remove(self._committed)
