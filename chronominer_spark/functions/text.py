@@ -90,6 +90,10 @@ def _arrow_norm_array(s: pd.Series, lowercase: bool, collapse_ws: bool,
     import pyarrow.compute as pc
 
     arr = pa.Array.from_pandas(s)
+    if pa.types.is_null(arr.type):
+        # an all-NULL batch arrives as null-type; the regex kernels
+        # have no null-type kernel — cast keeps NULL→NULL semantics
+        arr = arr.cast(pa.string())
     if strip_diacritics:
         vals = [
             None if v is None else "".join(
@@ -146,12 +150,27 @@ def norm_hash64_arrow(
     violation values."""
     c = F.col(col) if isinstance(col, str) else col
 
+    # Backend decision happens ONCE, on the driver, and ships in the
+    # closure: the hash only ever compares content computed by the
+    # SAME function on both sides of a run, so any strong 64-bit hash
+    # works — but every worker must use the same one. DuckDB's
+    # vectorized hash() runs the whole batch in C++ (~8× the per-row
+    # blake2b loop, measured 1.27 s → 0.16 s per 1M rows incl. the
+    # to_pylist it also removes); a worker missing duckdb then fails
+    # loudly instead of silently hashing differently.
+    try:
+        import duckdb  # noqa: F401
+        use_duckdb = True
+    except ImportError:                              # pragma: no cover
+        use_duckdb = False
+
     @F.pandas_udf(LongType())
     def _nh(s: pd.Series) -> pd.Series:
-        import hashlib
-
         arr = _arrow_norm_array(
             s, lowercase, collapse_ws, strip_punct, strip_diacritics)
+        if use_duckdb:
+            return _duckdb_hash64(arr)
+        import hashlib
         out = [
             None if v is None else int.from_bytes(
                 hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(),
@@ -161,6 +180,36 @@ def norm_hash64_arrow(
         return pd.Series(pd.array(out, dtype="Int64"))
 
     return _nh(c)
+
+
+_DUCK_CON = None
+
+
+def _duckdb_hash64(arr) -> pd.Series:
+    """Vectorized 64-bit content hash of a pyarrow string array via
+    DuckDB's ``hash()`` (NULL → NULL), mapped into signed int64. The
+    connection is constructed once per Python worker (guide §4.5)."""
+    import duckdb
+    import pyarrow as pa
+
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        _DUCK_CON = duckdb.connect()
+    tbl = pa.table({"s": arr})  # noqa: F841  (duckdb replacement scan)
+    out = _DUCK_CON.execute(
+        "SELECT CASE WHEN h IS NULL THEN NULL "
+        "WHEN h >= 9223372036854775808::UBIGINT "
+        "THEN (h::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT "
+        "ELSE h::BIGINT END AS v "
+        "FROM (SELECT CASE WHEN s IS NULL THEN NULL ELSE hash(s) END "
+        "AS h FROM tbl)"
+    ).fetch_arrow_table()
+    # types_mapper keeps the column in the NULLABLE Int64 extension
+    # dtype: plain to_pandas() would convert an int64 column containing
+    # any NULL to float64, silently rounding 64-bit hashes above 2^53
+    # (batch-composition-dependent -> mass false mismatches at scale)
+    return out.column("v").to_pandas(
+        types_mapper={pa.int64(): pd.Int64Dtype()}.get)
 
 
 @F.pandas_udf(StringType())

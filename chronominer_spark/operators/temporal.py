@@ -54,6 +54,7 @@ def interval_join(
     interval_cols: list[str] | None = None,
     prefix: str = "iv_",
     max_buckets_per_interval: int = 4096,
+    refresh_width: bool = False,
 ) -> DataFrame:
     """Point-in-interval join: each ``points`` row paired with every
     ``intervals`` row (same ``on`` key) whose ``[lo, hi]`` contains
@@ -99,8 +100,16 @@ def interval_join(
     interval_cols = (interval_cols if interval_cols is not None
                      else [c for c in intervals.columns
                            if c not in set(on) | {lo, hi}])
+    # STALENESS CAVEAT (round-6 ADVICE): the memo is keyed by DataFrame
+    # OBJECT identity, not by data. If the same frame object's
+    # underlying source gains rows between calls (appended parquet
+    # dir, stream table), the memoized p95-derived width goes stale —
+    # a genuinely wider new interval can then trip
+    # max_buckets_per_interval (loud) or degrade the join (silent).
+    # Pass ``refresh_width=True`` (or an explicit ``bucket_width``)
+    # when the interval side is not immutable for the frame's lifetime.
     if bucket_width is None:
-        memo = _WIDTH_MEMO.get(intervals)
+        memo = None if refresh_width else _WIDTH_MEMO.get(intervals)
         if memo is not None and memo[0] == (lo, hi):
             bucket_width = memo[1]
         else:

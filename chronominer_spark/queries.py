@@ -1051,7 +1051,16 @@ def q29_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-error verdict ``within_bound`` = |sketch − exact| / max(|exact|, 1)
     ≤ 5%. The oracle asserts the verdict TRUE for every row, so a sketch
     drifting out of its error envelope turns the driver row red. Tighter
-    accuracy + partial/final merge invariance stay pytest-asserted."""
+    accuracy + partial/final merge invariance stay pytest-asserted.
+
+    SKETCH-CONTRACT MINIMUM GROUP SIZE (round-6 ADVICE): the 5%
+    relative envelope is calibrated for the correctness tier and up
+    (sf0.01: ~2.4k rows/group). At smoke scale (sf0.001, ~240
+    rows/group) a t-digest p99 interpolates between a handful of tail
+    values and the bound does NOT reliably hold — q29 and its
+    streaming twin q74 are oracle-gated at sf0.01+, never at sf0.001.
+    Rule of thumb: the contract needs ≳50 rows per (group × tail
+    quantile), i.e. ≥ 50/(1−q) rows per group for quantile q."""
     from chronominer_spark.constraints.tdigest import tdigest_quantiles
 
     e = t(spark, sf_dir, "events")
@@ -4315,7 +4324,9 @@ def q74_incremental_tdigest_quantiles(
     unlike the count-fold twins the fixed point is BOUNDED, not exact,
     because compression is lossy — hence the contract oracle rather
     than a value oracle). Oracle IS q29's SQL. State per partition is
-    ≤δ centroids, never O(rows)."""
+    ≤δ centroids, never O(rows). The q29 sketch-contract minimum group
+    size applies here too (round-6 ADVICE): the 5% envelope holds at
+    sf0.01+ group sizes, not at the sf0.001 smoke tier."""
     import shutil
     import tempfile
 

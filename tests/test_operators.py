@@ -1019,6 +1019,38 @@ def test_fused_shingle_hash_matches_string_path(spark):
     assert got_v == ref_v and len(got_v) > 0
 
 
+def test_norm_hash64_null_batch_precision(spark):
+    """Round-7 regression guard: the vectorized content hash must keep
+    EXACT int64 values when a batch contains NULLs (a plain to_pandas
+    of a nullable int64 column degrades to float64 and silently rounds
+    hashes above 2^53 — batch-composition-dependent mass mismatches at
+    scale), and an all-NULL batch must not crash the regex kernels.
+    Equal strings must hash equal whether or not a NULL shares their
+    batch; NULL stays NULL."""
+    from pyspark.sql import functions as F
+
+    from chronominer_spark.functions.text import norm_hash64_arrow
+
+    texts = [(i, f"some normalized content number {i}") for i in range(64)]
+    clean = spark.createDataFrame(texts, "id long, t string").coalesce(1)
+    dirty = spark.createDataFrame(
+        texts + [(9999, None)], "id long, t string").coalesce(1)
+    h_clean = {r["id"]: r["h"] for r in clean.select(
+        "id", norm_hash64_arrow(F.col("t")).alias("h")).collect()}
+    h_dirty = {r["id"]: r["h"] for r in dirty.select(
+        "id", norm_hash64_arrow(F.col("t")).alias("h")).collect()}
+    assert h_dirty.pop(9999) is None
+    assert h_dirty == h_clean          # exact, not float-rounded
+    assert any(abs(v) > 2 ** 53 for v in h_clean.values())
+
+    # all-NULL batch: null-type arrow array path
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, t string").coalesce(1)
+    got = [r["h"] for r in allnull.select(
+        norm_hash64_arrow(F.col("t")).alias("h")).collect()]
+    assert got == [None, None]
+
+
 def test_normalize_text_arrow_matches_catalyst(spark):
     """Round-7 optimization guard: normalize_text_arrow (pyarrow.compute
     RE2 passes) must reproduce normalize_text (JVM regex) exactly for
