@@ -8,6 +8,10 @@ Usage:
     python bench_extra.py noop [query ...]    # noop-sink per query
     python bench_extra.py phases              # phase timing: q35/q26/q19/q21
     python bench_extra.py count <table>       # row counts of the sf tables
+    python bench_extra.py newfam              # round-5/6 families q68-q74
+                                              # (bench.py is FROZEN; their
+                                              # recurring timings live here —
+                                              # round-6 verdict item 5)
 
 Respects $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and
 $SPARK_GRAFT_CPUS like bench.py.
@@ -205,9 +209,25 @@ def cmd_count(tables: list[str]) -> None:
     spark.stop()
 
 
+# round-5/6 additions with no recurring bench.py slot (the timed lists
+# there are frozen): timed here so regressions in the newest families
+# stay visible round-over-round (round-6 verdict item 5)
+NEWFAM_QUERIES = [
+    "q68_functional_dependency",
+    "q69_calendar_completeness",
+    "q70_partition_outliers",
+    "q71_token_budget_audit",
+    "q72_incremental_categorical_drift",
+    "q73_incremental_heavy_hitters",
+    "q74_incremental_tdigest_quantiles",
+]
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "noop"
-    if cmd == "noop":
+    if cmd == "newfam":
+        cmd_noop(NEWFAM_QUERIES)
+    elif cmd == "noop":
         cmd_noop(sys.argv[2:])
     elif cmd == "phases":
         cmd_phases()

@@ -61,6 +61,7 @@ def _mg_fold(acc: pd.Series | None, chunk: pd.Series, k: int) -> pd.Series:
 
 def heavy_hitters(
     df: DataFrame, col: str, k: int = 8, chunk_rows: int = 65536,
+    with_total: bool = False,
 ) -> DataFrame:
     """Misra–Gries heavy-hitter summary of ``col`` (cast to string;
     nulls skipped). Returns ≤ k rows ``(item, est_count)``.
@@ -69,7 +70,13 @@ def heavy_hitters(
     over Arrow batches — fused into the scan, no exchange of the
     stream, O(k + chunk_rows) task memory, pandas-rate counting), then
     one merge of the ≤ k·partitions partial rows (pointwise sum + MG
-    compress)."""
+    compress).
+
+    ``with_total=True`` additionally emits one ``(NULL, n)`` row
+    carrying the EXACT non-null item count, folded through the same
+    single scan (each task counts its rows alongside its MG partial) —
+    the streaming twin needs n_total for the MG error bound and
+    previously paid a second full scan for it."""
     vals = (
         df.select(F.col(col).cast("string").alias("item"))
         .where(F.col("item").isNotNull())
@@ -82,8 +89,10 @@ def heavy_hitters(
         acc: pd.Series | None = None
         buf: list[pd.Series] = []
         buffered = 0
+        n_rows = 0
         for pdf in batches:
             s = pdf["item"]
+            n_rows += len(s)
             for at in range(0, len(s), chunk_rows):
                 buf.append(s.iloc[at:at + chunk_rows])
                 buffered += len(buf[-1])
@@ -93,19 +102,29 @@ def heavy_hitters(
                     buf, buffered = [], 0
         if buf:
             acc = _mg_fold(acc, pd.concat(buf).value_counts(), k)
-        if acc is not None and len(acc):
-            yield pd.DataFrame({
-                "item": acc.index.astype(str),
-                "cnt": acc.to_numpy(dtype="int64", copy=True),
-            })
+        out_items = [] if acc is None else list(acc.index.astype(str))
+        out_cnts = [] if acc is None else list(
+            acc.to_numpy(dtype="int64", copy=True))
+        if with_total and (n_rows or out_items):
+            out_items.append(None)
+            out_cnts.append(n_rows)
+        if out_items:
+            yield pd.DataFrame({"item": out_items,
+                                "cnt": pd.array(out_cnts, dtype="int64")})
 
     partials = vals.mapInPandas(partial, "item string, cnt long")
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        null_mask = pdf["item"].isna()
         counts = _mg_compress(
-            pdf.groupby("item")["cnt"].sum().to_dict(), k)
+            pdf[~null_mask].groupby("item")["cnt"].sum().to_dict(), k)
+        items = list(counts)
+        cnts = list(counts.values())
+        if with_total:
+            items.append(None)
+            cnts.append(int(pdf[null_mask]["cnt"].sum()))
         return pd.DataFrame(
-            {"item": list(counts), "est_count": list(counts.values())})
+            {"item": items, "est_count": pd.array(cnts, dtype="int64")})
 
     return (
         partials.withColumn("_one", F.lit(1))

@@ -434,36 +434,39 @@ class IncrementalHeavyHitters(StreamFoldBase):
         op = f"hh_batch={batch_id}"
         if any(s.operation == op for s in self.table.snapshots()):
             return
-        n_b = batch_df.where(F.col(self.col).isNotNull()).count()
-        partial = heavy_hitters(batch_df, self.col, self.k) \
+        # with_total folds the exact non-null item count into the SAME
+        # single scan as the MG partials (the previous separate count()
+        # job re-scanned every batch — guide §1.2): the partial frame
+        # carries a (NULL item, n_b) row alongside the ≤k summary rows
+        partial = heavy_hitters(batch_df, self.col, self.k,
+                                with_total=True) \
             .withColumnRenamed("est_count", "cnt")
         if self.table.exists():
             state = self.table.read()
-            total = state.where(F.col("item").isNull()) \
-                .agg(F.sum("cnt")).collect()[0][0] or 0
-            items = state.where(F.col("item").isNotNull())
             k = self.k
 
             def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+                null_mask = pdf["item"].isna()
                 counts = _mg_compress(
-                    pdf.groupby("item")["cnt"].sum().to_dict(), k)
+                    pdf[~null_mask].groupby("item")["cnt"].sum().to_dict(),
+                    k)
+                items = list(counts)
+                cnts = list(counts.values())
+                # running total: prior state's NULL row + batch's
+                items.append(None)
+                cnts.append(int(pdf[null_mask]["cnt"].sum()))
                 return pd.DataFrame(
-                    {"item": list(counts), "cnt": list(counts.values())})
+                    {"item": items, "cnt": pd.array(cnts, dtype="int64")})
 
             merged = (
-                items.unionByName(partial)
+                state.unionByName(partial)
                 .withColumn("_one", F.lit(1))
                 .groupBy("_one")
                 .applyInPandas(merge, "item string, cnt long")
             )
-            new_total = int(total) + int(n_b)
         else:
             merged = partial
-            new_total = int(n_b)
-        total_row = self.spark.createDataFrame(
-            [(None, new_total)], "item string, cnt long")
-        self.table.write_snapshot(
-            merged.unionByName(total_row), operation=op)
+        self.table.write_snapshot(merged, operation=op)
 
     def result(self) -> tuple[DataFrame, int]:
         """(summary DataFrame (item, est_count), total items ingested)."""
